@@ -1,0 +1,248 @@
+"""Batched Gauss-Newton SQP with augmented-Lagrangian constraints.
+
+This is the TPU-native replacement for the reference's L0/L2 solver stack
+(do-mpc multiple-shooting NLP -> CasADi -> IPOPT -> MA27/MUMPS; see
+``Generate Data/template_mpc.py`` and SURVEY.md section 2.2).  Design:
+
+* **Condensed single shooting.**  The decision vector is the scaled input
+  trajectory ``v in R^N`` (N = horizon, N <= 25).  States are eliminated by
+  an RK4 rollout, so there is no sparse KKT system to factor — the
+  Gauss-Newton normal equations are a dense N x N solve, trivially batched
+  over thousands of scenarios (the reference instead factors a
+  ~(6N)-variable sparse KKT matrix with MA27 per scenario, serially).
+* **Gauss-Newton on residuals.**  The do-mpc objective
+  ``sum_k (y_dot_k - ref)^2 + mterm + 0.02 * sum_k (du_k / u_scale)^2``
+  (template_mpc.py:44-50; rterm acts on *scaled* inputs) is an exact
+  least-squares form; Jacobians come from one `jax.jacfwd` through the
+  rollout.
+* **Augmented Lagrangian** for the pressure bounds ``p1, p2 >= 0``
+  (template_mpc.py:53-54) and the optional ``p <= 32e6`` box
+  (Supervised Learning/template_mpc.py:57-64), with multiplier updates
+  between fixed-size inner GN rounds.
+* **Fixed iteration structure.**  No data-dependent Python control flow:
+  `lax.fori_loop` with convergence masking, so one XLA program serves the
+  whole vmapped batch and compiles once per (horizon, config).
+* **Warm starting** by shifting the previous solution one step
+  (:func:`shift_state`), mirroring IPOPT's warm start across
+  ``make_step`` calls.
+* **IPOPT-style diagnostics** (iteration count, objective, primal/dual
+  infeasibility, regularization, step norm, penalty mu) are carried in the
+  solve and returned per step, matching the stats record the reference
+  consumes (``Generate Data/Functions.py:366-372``).
+
+Line search: each GN iteration evaluates a small ladder of damped step
+sizes in one batched rollout and keeps the best — branch-free, so the whole
+solve vectorizes across scenarios on the VPU with no divergence penalty.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..integrate.rk4 import rk4_step
+from ..physics import press
+from ..physics.scaling import U_SCALE, X_SCALE
+
+_P_SCALE = 1e7  # pressure scaling inside the NLP (template_mpc.py:34-35)
+
+
+@dataclasses.dataclass(frozen=True)
+class MPCConfig:
+    """Static solver configuration (hashable; closed over by jit)."""
+
+    horizon: int = 10
+    dt: float = 1e-3                 # t_step (template_mpc.py:23)
+    substeps: int = 4
+    variant: press.Variant = "smooth"
+    rterm: float = 0.02              # set_rterm(u=0.02) on scaled du
+    p_min: float = 0.0               # lower pressure bound [Pa]
+    p_max: float | None = None       # upper bound 32e6 when do_feasibility
+    params: press.PressParams = press.DEFAULT_PARAMS
+
+    # Iteration structure
+    gn_iters: int = 8                # inner Gauss-Newton iterations per AL round
+    al_iters: int = 2                # augmented-Lagrangian rounds
+    mu0: float = 1e2                 # initial AL penalty
+    mu_factor: float = 10.0
+    tol_grad: float = 1e-7           # dual-infeasibility stop (scaled units)
+    lm_reg: float = 1e-8             # base Levenberg damping
+    step_ladder: tuple = (1.0, 0.5, 0.25, 0.05)
+
+    @property
+    def n_con(self) -> int:
+        per_stage = 2 if self.p_max is None else 4
+        return per_stage * self.horizon
+
+
+class SolverState(NamedTuple):
+    """Warm-start carry across closed-loop steps (cf. IPOPT warm start)."""
+
+    v: jax.Array     # (N,) scaled input trajectory
+    lam: jax.Array   # (n_con,) AL multipliers
+
+
+class Diagnostics(NamedTuple):
+    """Per-solve stats mirroring the IPOPT record the reference stores
+    (iter_count/obj/inf_pr/inf_du/regularization/d_norm/mu,
+    ``Generate Data/Functions.py:366-372``)."""
+
+    iters: jax.Array
+    obj: jax.Array
+    inf_pr: jax.Array
+    inf_du: jax.Array
+    reg: jax.Array
+    d_norm: jax.Array
+    mu: jax.Array
+
+
+def init_state(cfg: MPCConfig, dtype=jnp.float32) -> SolverState:
+    return SolverState(
+        v=jnp.zeros((cfg.horizon,), dtype=dtype),
+        lam=jnp.zeros((cfg.n_con,), dtype=dtype),
+    )
+
+
+def shift_state(state: SolverState) -> SolverState:
+    """Shift the previous solution one control period (warm start)."""
+    v = jnp.concatenate([state.v[1:], state.v[-1:]])
+    return SolverState(v=v, lam=state.lam)
+
+
+def _rollout(cfg: MPCConfig, x0, v):
+    """States x_1..x_N (physical units) for scaled inputs v."""
+
+    def f(x, u):
+        return press.rhs(x, u, cfg.params, cfg.variant)
+
+    def step(x, vk):
+        x_next = rk4_step(f, x, vk * U_SCALE, cfg.dt, cfg.substeps)
+        return x_next, x_next
+
+    _, xs = jax.lax.scan(step, x0, v)
+    return xs  # (N, 5)
+
+
+def _constraints(cfg: MPCConfig, xs):
+    """Inequalities c(v) >= 0 in scaled pressure units, stages 1..N."""
+    p1 = xs[:, 2] / _P_SCALE
+    p2 = xs[:, 3] / _P_SCALE
+    lo = cfg.p_min / _P_SCALE
+    cons = [p1 - lo, p2 - lo]
+    if cfg.p_max is not None:
+        hi = cfg.p_max / _P_SCALE
+        cons += [hi - p1, hi - p2]
+    return jnp.concatenate(cons)
+
+
+def _residuals(cfg: MPCConfig, x0, ref, u_prev_s, lam, mu, v):
+    """Stacked least-squares residuals of the AL-regularized objective.
+
+    Layout: [tracking (N), sqrt(rterm)*du (N), sqrt(mu/2)*active-constraint (n_con)].
+    """
+    xs = _rollout(cfg, x0, v)
+    r_track = xs[:, 1] - ref                       # lterm k=1..N-1 + mterm k=N
+    dv = jnp.diff(jnp.concatenate([jnp.array([u_prev_s], dtype=v.dtype), v]))
+    r_du = jnp.sqrt(cfg.rterm) * dv
+    c = _constraints(cfg, xs)
+    # AL term: (mu/2) * max(0, lam/mu - c)^2  (classic Rockafellar form)
+    r_con = jnp.sqrt(mu / 2.0) * jnp.maximum(lam / mu - c, 0.0)
+    return jnp.concatenate([r_track, r_du, r_con]), c
+
+
+def _objective_only(cfg: MPCConfig, x0, ref, u_prev_s, v):
+    """True (non-AL) objective value, for diagnostics."""
+    xs = _rollout(cfg, x0, v)
+    r_track = xs[:, 1] - ref
+    dv = jnp.diff(jnp.concatenate([jnp.array([u_prev_s], dtype=v.dtype), v]))
+    return jnp.sum(r_track**2) + cfg.rterm * jnp.sum(dv**2)
+
+
+def solve(cfg: MPCConfig, x0, ref, u_prev, state: SolverState):
+    """One MPC solve (the `make_step` equivalent).
+
+    Args:
+      cfg: static config.
+      x0: current (measured) state, physical units, shape (5,).
+      ref: speed reference for the horizon (scalar; the reference holds it
+        constant over the horizon, template_mpc.py:68-82).
+      u_prev: previously applied input (physical), for the first du penalty.
+      state: warm start from the previous step (already shifted).
+
+    Returns (u0, new_state, Diagnostics); u0 is the physical first input.
+    Fully jit/vmap compatible; no data-dependent shapes.
+    """
+    dtype = state.v.dtype
+    x0 = x0.astype(dtype)
+    ref = jnp.asarray(ref, dtype)
+    u_prev_s = jnp.asarray(u_prev, dtype) / U_SCALE
+
+    res_fn = lambda v, lam, mu: _residuals(cfg, x0, ref, u_prev_s, lam, mu, v)
+
+    def gn_round(carry, _):
+        v, lam, mu, it_used, reg, d_norm, inf_du = carry
+
+        (r, c), = (res_fn(v, lam, mu),)
+        J = jax.jacfwd(lambda vv: res_fn(vv, lam, mu)[0])(v)
+        g = J.T @ r
+        H = J.T @ J
+
+        cost0 = 0.5 * jnp.dot(r, r)
+        gnorm = jnp.max(jnp.abs(g))
+        converged = gnorm < cfg.tol_grad
+
+        # Damped-step ladder evaluated in one batched rollout.
+        def try_step(alpha_reg):
+            alpha, extra_reg = alpha_reg
+            Hd = H + (cfg.lm_reg + extra_reg) * jnp.eye(cfg.horizon, dtype=dtype)
+            dv = -jnp.linalg.solve(Hd, g)
+            v_try = v + alpha * dv
+            r_try, _ = res_fn(v_try, lam, mu)
+            return 0.5 * jnp.dot(r_try, r_try), v_try, jnp.linalg.norm(alpha * dv)
+
+        ladder = [(a, 0.0) for a in cfg.step_ladder] + [(1.0, 1e-2), (1.0, 1.0)]
+        costs, vs, dns = zip(*[try_step(ar) for ar in ladder])
+        costs = jnp.stack(costs)
+        vs = jnp.stack(vs)
+        dns = jnp.stack(dns)
+        best = jnp.argmin(costs)
+        improved = costs[best] < cost0
+        take = jnp.logical_and(improved, jnp.logical_not(converged))
+
+        v_new = jnp.where(take, vs[best], v)
+        d_new = jnp.where(take, dns[best], 0.0)
+        it_new = it_used + jnp.where(converged, 0, 1)
+        return (v_new, lam, mu, it_new, reg, d_new, gnorm), None
+
+    def al_round(carry, _):
+        v, lam, mu, it_used, reg, d_norm, inf_du = carry
+        carry, _ = jax.lax.scan(gn_round, (v, lam, mu, it_used, reg, d_norm, inf_du),
+                                None, length=cfg.gn_iters)
+        v, lam, mu, it_used, reg, d_norm, inf_du = carry
+        _, c = res_fn(v, lam, mu)
+        lam_new = jnp.maximum(lam - mu * c, 0.0)
+        mu_new = mu * cfg.mu_factor
+        return (v, lam_new, mu_new, it_used, reg, d_norm, inf_du), None
+
+    mu0 = jnp.asarray(cfg.mu0, dtype)
+    init = (state.v, state.lam, mu0, jnp.zeros((), jnp.int32),
+            jnp.asarray(cfg.lm_reg, dtype), jnp.zeros((), dtype), jnp.zeros((), dtype))
+    (v, lam, mu, iters, reg, d_norm, inf_du), _ = jax.lax.scan(
+        al_round, init, None, length=cfg.al_iters)
+
+    xs = _rollout(cfg, x0, v)
+    c = _constraints(cfg, xs)
+    diag = Diagnostics(
+        iters=iters,
+        obj=_objective_only(cfg, x0, ref, u_prev_s, v),
+        inf_pr=jnp.maximum(jnp.max(-c), 0.0),
+        inf_du=inf_du,
+        reg=reg,
+        d_norm=d_norm,
+        mu=mu,
+    )
+    u0 = v[0] * U_SCALE
+    return u0, SolverState(v=v, lam=lam), diag
