@@ -1,0 +1,165 @@
+"""Closed-loop simulation engine.
+
+TPU-native replacement for the reference's L4 drivers (``MPC.loop`` at
+``Generate Data/Functions.py:235-393`` and ``NeuralNetwork.loop`` at
+``Supervised Learning/Functions.py:673-885``).  Where the reference steps
+one trajectory at a time through Python -> CasADi/IPOPT -> CVODES process
+boundaries (24,000 serial NLP solves per dataset), here the *entire*
+episode — controller solve, RK4 plant step, noise injection, telemetry —
+is one `lax.scan` inside one XLA program, `vmap`-batched over trajectories
+and shardable over a device mesh.
+
+Controllers implement a tiny protocol (:class:`Controller`): an initial
+carry and a ``step(carry, x_meas, ref, u_prev) -> (u, carry, diag)``.
+The MPC controller wraps the SQP solver with IPOPT-style warm-start
+shifting; NN controllers wrap scaler -> network -> unscale (-> optional
+feasibility recovery).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, NamedTuple, Protocol
+
+import jax
+import jax.numpy as jnp
+
+from ..integrate.rk4 import rk4_step
+from ..physics import press
+from ..solver import sqp
+
+
+@dataclasses.dataclass(frozen=True)
+class LoopConfig:
+    """Closed-loop settings (cf. USER SETTINGS blocks, e.g.
+    ``Generate Data/Main.py:45-58``)."""
+
+    t_steps: int = 300
+    dt: float = 1e-3
+    substeps: int = 4
+    variant: press.Variant = "smooth"   # plant + measurement variant
+    process_std: tuple = (0.0,) * 5     # per-state process noise std
+    meas_std: tuple = (0.0,) * 5        # per-state measurement noise std
+    params: press.PressParams = press.DEFAULT_PARAMS
+
+
+class Telemetry(NamedTuple):
+    """Per-step record, schema-equivalent to the reference's results dicts
+    (``Generate Data/Functions.py:381-390``): measured states, command,
+    reference, forging force, process noise, and solver diagnostics."""
+
+    x: jax.Array      # (T, 5) measured state after each step
+    u: jax.Array      # (T,)
+    ref: jax.Array    # (T,)
+    Fd: jax.Array     # (T,) forging force at the pre-step state
+    w: jax.Array      # (T, 5) process noise draws
+    diag: sqp.Diagnostics  # stacked per-step solver stats (zeros for NN)
+
+
+class Controller(Protocol):
+    def init_carry(self, dtype): ...
+
+    def step(self, carry, x_meas, ref, u_prev): ...
+
+
+@dataclasses.dataclass(frozen=True)
+class MPCController:
+    """SQP MPC with shift warm start — `make_step` equivalent."""
+
+    cfg: sqp.MPCConfig
+
+    def init_carry(self, dtype):
+        return sqp.init_state(self.cfg, dtype)
+
+    def step(self, carry, x_meas, ref, u_prev):
+        u0, new_state, diag = sqp.solve(
+            self.cfg, x_meas, ref, u_prev, sqp.shift_state(carry))
+        return u0, new_state, diag
+
+
+@dataclasses.dataclass(frozen=True)
+class FunctionController:
+    """Stateless controller from a plain function u = g(x_meas, ref, u_prev)
+    (e.g. a trained NN policy with baked-in scalers)."""
+
+    fn: Callable
+
+    def init_carry(self, dtype):
+        return jnp.zeros((), dtype)
+
+    def step(self, carry, x_meas, ref, u_prev):
+        u0 = self.fn(x_meas, ref, u_prev)
+        zero = jnp.zeros((), x_meas.dtype)
+        diag = sqp.Diagnostics(
+            iters=jnp.zeros((), jnp.int32), obj=zero, inf_pr=zero,
+            inf_du=zero, reg=zero, d_norm=zero, mu=zero)
+        return u0, carry, diag
+
+
+def run_trajectory(loop_cfg: LoopConfig, controller, x0, refs, key,
+                   u_init=0.0):
+    """Simulate one trajectory of ``t_steps`` control periods.
+
+    Step semantics follow ``Generate Data/Functions.py:332-372``:
+      u_t   = controller(x_meas_t)           (x_meas_0 = x0)
+      w_t   ~ N(0, process_std); v_t ~ N(0, meas_std)
+      x_{t+1}      = integrate(f(x, u_t) + w_t) from the *true* state
+      x_meas_{t+1} = h(x_{t+1}) + v_t        (h floors pressures in the
+                                              smooth variant, which is what
+                                              makes cavitated p1 hidden)
+
+    Returns (final_true_state, Telemetry).  jit/vmap-compatible; batch by
+    vmapping over (x0, refs, key).
+    """
+    dtype = x0.dtype
+    p_std = jnp.asarray(loop_cfg.process_std, dtype)
+    m_std = jnp.asarray(loop_cfg.meas_std, dtype)
+
+    def f(x, u):
+        return press.rhs(x, u, loop_cfg.params, loop_cfg.variant)
+
+    def body(carry, inp):
+        x_true, x_meas, ctrl_carry, u_prev, key = carry
+        ref, _t = inp
+        Fd = press.forging_force(x_meas[0], x_meas[1], loop_cfg.params)
+
+        u0, ctrl_carry, diag = controller.step(ctrl_carry, x_meas, ref, u_prev)
+
+        key, kw, kv = jax.random.split(key, 3)
+        w = jax.random.normal(kw, (5,), dtype) * p_std
+        v = jax.random.normal(kv, (5,), dtype) * m_std
+
+        x_next = rk4_step(f, x_true, u0, loop_cfg.dt, loop_cfg.substeps,
+                          disturbance=w)
+        x_meas_next = press.measure(x_next, loop_cfg.params, loop_cfg.variant) + v
+
+        out = Telemetry(x=x_meas_next, u=u0, ref=ref, Fd=Fd, w=w, diag=diag)
+        return (x_next, x_meas_next, ctrl_carry, u0, key), out
+
+    x0 = jnp.asarray(x0)
+    init = (x0, press.measure(x0, loop_cfg.params, loop_cfg.variant),
+            controller.init_carry(dtype), jnp.asarray(u_init, dtype), key)
+    (x_final, *_), telem = jax.lax.scan(
+        body, init, (refs, jnp.arange(loop_cfg.t_steps)))
+    return x_final, telem
+
+
+def run_batch(loop_cfg: LoopConfig, controller, x0, refs, key):
+    """vmap of :func:`run_trajectory` over a scenario batch.
+
+    Args:
+      x0: (B, 5) initial states.
+      refs: (B, T) per-trajectory reference streams.
+      key: PRNG key; split per trajectory.
+
+    This is the TPU-native form of the reference's embarrassingly parallel
+    trajectory loop (SURVEY.md section 2.10): the batch axis lands on the
+    VPU lanes and shards over a mesh via the parallel/ module.
+    """
+    keys = jax.random.split(key, x0.shape[0])
+    return jax.vmap(lambda x, r, k: run_trajectory(loop_cfg, controller, x, r, k)
+                    )(x0, refs, keys)
+
+
+def default_x0(dtype=jnp.float64):
+    return jnp.asarray(press.X0_REFERENCE, dtype)

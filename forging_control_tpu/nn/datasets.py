@@ -1,0 +1,92 @@
+"""Dataset construction — vectorized window/pair building.
+
+Replaces the reference's torch Dataset classes with precomputed arrays
+(no per-item indexing; one gather builds every window):
+
+* :func:`supervised_pairs` — ``SequenceDataset`` of the supervised run
+  (``Supervised Learning/Functions.py:69-108``): features at step t,
+  command target at step t.
+* :func:`windows` — ``CreateDataset`` (``Unsupervised Learning/Model_NN/
+  Functions.py:109-181``): per-index lookback window ending at t,
+  front-padded by repeating row 0, target = value at t+1 (clamped at the
+  end of the trajectory).
+* :func:`unsupervised_triples` — the 3-tuple ``SequenceDataset``
+  (``Unsupervised Learning/Functions.py:66-132``): static features at t,
+  target at t+1, recurrent window ending at t.
+
+Split follows the reference: 60/20/20 train/val/test, trajectory-ordered,
+**no shuffle** (``Supervised Learning/Main.py:196-202``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def window_indices(n: int, lookback: int) -> np.ndarray:
+    """(n, lookback) gather indices: window ends at i, front-clamped to 0."""
+    idx = np.arange(n)[:, None] + np.arange(-lookback + 1, 1)[None, :]
+    return np.maximum(idx, 0)
+
+
+def windows(features: np.ndarray, targets: np.ndarray, lookback: int):
+    """CreateDataset equivalent: (x[i] = features window ending at i,
+    y[i] = targets[min(i+1, n-1)])."""
+    n = len(features)
+    x = features[window_indices(n, lookback)]
+    nxt = np.minimum(np.arange(n) + 1, n - 1)
+    return x, targets[nxt]
+
+
+def supervised_pairs(features: np.ndarray, targets: np.ndarray):
+    """Supervised SequenceDataset: same-step (x_t, u_t) pairs."""
+    return features, targets
+
+
+def unsupervised_triples(features, targets, recurrent, lookback: int):
+    """(x_t, y_{t+1}, window_t) triples."""
+    n = len(features)
+    z = recurrent[window_indices(n, lookback)]
+    nxt = np.minimum(np.arange(n) + 1, n - 1)
+    return features, targets[nxt], z
+
+
+def split_603030(n: int):
+    """60/20/20 trajectory-ordered split indices (no shuffle)."""
+    i1 = int(n * 0.6)
+    i2 = int(n * 0.8)
+    return slice(0, i1), slice(i1, i2), slice(i2, n)
+
+
+def resample_every(n: int, stride: int) -> np.ndarray:
+    """Every-N-th subsampling used by the unsupervised run
+    (``Unsupervised Learning/Main.py:282-309``)."""
+    return np.arange(0, n, stride)
+
+
+def telemetry_to_table(telem) -> dict:
+    """Flatten batched closed-loop Telemetry into flat per-step columns,
+    matching the pickled do-mpc result layout (states at step t, command
+    applied at t, reference at t)."""
+    import numpy as np
+    x = np.asarray(telem.x).reshape(-1, 5)
+    return {
+        "y": x[:, 0], "y_dot": x[:, 1], "p1": x[:, 2], "p2": x[:, 3],
+        "z": x[:, 4],
+        "u": np.asarray(telem.u).reshape(-1),
+        "ref": np.asarray(telem.ref).reshape(-1),
+        "Fd": np.asarray(telem.Fd).reshape(-1),
+    }
+
+
+def batch_iter(arrays, batch_size: int, *, key=None, drop_last=False):
+    """Minimal DataLoader: yields tuples of batch slices; shuffles when a
+    numpy RandomState-compatible ``key`` (seed int) is given."""
+    n = len(arrays[0])
+    order = np.arange(n)
+    if key is not None:
+        np.random.RandomState(key).shuffle(order)
+    end = n - (n % batch_size) if drop_last else n
+    for s in range(0, end, batch_size):
+        sel = order[s:s + batch_size]
+        yield tuple(a[sel] for a in arrays)

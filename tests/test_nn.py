@@ -1,0 +1,215 @@
+"""NN stack tests: scalers, FNN, LSTM, datasets, MPC loss, training."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from forging_control_tpu.nn import datasets, fnn, lstm, mpc_loss, scalers, train
+
+
+# ---------------------------------------------------------------- scalers
+
+def test_maxabs_matches_sklearn():
+    rng = np.random.RandomState(0)
+    x = rng.randn(100, 3) * [1.0, 10.0, 0.1]
+    sc = scalers.fit("maxabs", x)
+    from sklearn.preprocessing import MaxAbsScaler
+    want = MaxAbsScaler().fit_transform(x)
+    np.testing.assert_allclose(np.array(sc.transform(jnp.array(x))), want, rtol=1e-12)
+    np.testing.assert_allclose(
+        np.array(sc.inverse(sc.transform(jnp.array(x)))), x, rtol=1e-12)
+
+
+@pytest.mark.parametrize("kind,cls", [
+    ("minmax", "MinMaxScaler"), ("standard", "StandardScaler"),
+    ("robust", "RobustScaler")])
+def test_other_scalers_match_sklearn(kind, cls):
+    import sklearn.preprocessing as skp
+    rng = np.random.RandomState(1)
+    x = rng.randn(200, 4) * [1, 5, 50, 0.01] + [0, 1, -3, 0]
+    sc = scalers.fit(kind, x)
+    want = getattr(skp, cls)().fit_transform(x)
+    np.testing.assert_allclose(np.array(sc.transform(jnp.array(x))), want,
+                               rtol=1e-9, atol=1e-12)
+
+
+# ---------------------------------------------------------------- FNN
+
+def test_fnn_shapes_and_clamp():
+    params, meta = fnn.init(jax.random.PRNGKey(0))
+    x = jnp.array(np.random.RandomState(0).randn(32, 3) * 10)
+    out = fnn.apply(params, x)
+    assert out.shape == (32, 1)
+    assert float(jnp.max(jnp.abs(out))) <= 1.0  # Hardtanh
+
+
+def test_fnn_matches_torch():
+    """Forward parity against a torch replica of FNNModel
+    (Supervised Learning/Functions.py:113-178)."""
+    import torch
+    torch.manual_seed(0)
+    params, _ = fnn.init(jax.random.PRNGKey(0), dtype=jnp.float64)
+
+    fc_in = torch.nn.Linear(3, 50).double()
+    fc_out = torch.nn.Linear(50, 1, bias=False).double()
+    with torch.no_grad():
+        fc_in.weight.copy_(torch.tensor(np.array(params["w_in"]).T))
+        fc_in.bias.copy_(torch.tensor(np.array(params["b_in"])))
+        fc_out.weight.copy_(torch.tensor(np.array(params["w_out"]).T))
+    x = np.random.RandomState(1).randn(16, 3)
+    with torch.no_grad():
+        want = torch.nn.Hardtanh()(fc_out(torch.relu(fc_in(torch.tensor(x)))))
+    got = fnn.apply(params, jnp.array(x))
+    np.testing.assert_allclose(np.array(got), want.numpy(), rtol=1e-6, atol=1e-7)
+
+
+def test_fnn_width_dim_weight_sharing():
+    params, _ = fnn.init(jax.random.PRNGKey(2))
+    x = jnp.ones((4, 3))
+    o1 = fnn.apply(params, x, width_dim=1)
+    o3 = fnn.apply(params, x, width_dim=3)
+    assert o1.shape == o3.shape
+    assert not np.allclose(np.array(o1), np.array(o3))
+
+
+# ---------------------------------------------------------------- LSTM
+
+def test_lstm_matches_torch():
+    """Forward parity against torch.nn.LSTM(bias=False, 3 layers) +
+    last-step linear readout (Model_NN/Functions.py:255-339)."""
+    import torch
+    params = lstm.init(jax.random.PRNGKey(0), dtype=jnp.float64)
+    tl = torch.nn.LSTM(5, 50, num_layers=3, bias=False, batch_first=True).double()
+    with torch.no_grad():
+        for l in range(3):
+            getattr(tl, f"weight_ih_l{l}").copy_(
+                torch.tensor(np.array(params["layers"][l]["w_ih"]).T))
+            getattr(tl, f"weight_hh_l{l}").copy_(
+                torch.tensor(np.array(params["layers"][l]["w_hh"]).T))
+    ro = torch.nn.Linear(50, 4, bias=True).double()
+    with torch.no_grad():
+        ro.weight.copy_(torch.tensor(np.array(params["w_out"]).T))
+        ro.bias.zero_()
+    x = np.random.RandomState(3).randn(8, 10, 5)
+    with torch.no_grad():
+        h, _ = tl(torch.tensor(x))
+        want = ro(h[:, -1, :]).numpy()
+    got = lstm.apply(params, jnp.array(x))
+    np.testing.assert_allclose(np.array(got), want, rtol=1e-6, atol=1e-8)
+    # (readout in our impl has no bias; torch bias zeroed above)
+
+
+def test_lstm_batch_free_and_vmap_agree():
+    params = lstm.init(jax.random.PRNGKey(1))
+    x = jnp.asarray(np.random.RandomState(0).randn(6, 10, 5), jnp.float32)
+    batched = lstm.apply(params, x)
+    single = jax.vmap(lambda xi: lstm.apply(params, xi))(x)
+    np.testing.assert_allclose(np.array(batched), np.array(single),
+                               rtol=1e-5, atol=1e-6)
+
+
+# ---------------------------------------------------------------- datasets
+
+def test_window_indices_padding():
+    idx = datasets.window_indices(5, 3)
+    np.testing.assert_array_equal(idx[0], [0, 0, 0])
+    np.testing.assert_array_equal(idx[1], [0, 0, 1])
+    np.testing.assert_array_equal(idx[4], [2, 3, 4])
+
+
+def test_windows_match_reference_semantics():
+    """CreateDataset parity: window ends at i (row-0 front padding),
+    target is the value at i+1 (clamped at the trajectory end)."""
+    feats = np.arange(12).reshape(6, 2).astype(float)
+    targ = np.arange(6).astype(float) * 10
+    x, y = datasets.windows(feats, targ, lookback=3)
+    assert x.shape == (6, 3, 2)
+    np.testing.assert_array_equal(x[0], [feats[0], feats[0], feats[0]])
+    np.testing.assert_array_equal(x[2], [feats[0], feats[1], feats[2]])
+    np.testing.assert_array_equal(y, [10, 20, 30, 40, 50, 50])
+
+
+def test_split_trajectory_ordered():
+    tr, va, te = datasets.split_603030(100)
+    assert (tr.stop, va.stop, te.stop) == (60, 80, 100)
+
+
+# ---------------------------------------------------------------- MPC loss
+
+def test_mpc_loss_runs_and_differentiates():
+    kc, ks = jax.random.split(jax.random.PRNGKey(0))
+    cp, _ = fnn.init(kc)
+    sp = lstm.init(ks)
+    B, L = 8, 10
+    rng = np.random.RandomState(0)
+    x_ctrl = jnp.asarray(rng.randn(B, 3), jnp.float32) * 0.3
+    window = jnp.asarray(rng.randn(B, L, 5), jnp.float32) * 0.3
+
+    def loss(p):
+        u = fnn.apply(p, x_ctrl)
+        l, out = mpc_loss.mpc_loss(p, sp, x_ctrl, u, window, horizon=10,
+                                   alpha=20.0)
+        return l
+
+    l, g = jax.value_and_grad(loss)(cp)
+    assert np.isfinite(float(l))
+    flat = jax.tree.leaves(jax.tree.map(lambda a: np.abs(np.array(a)).sum(), g))
+    assert sum(flat) > 0  # gradients flow through the full unroll
+
+
+def test_mpc_loss_decomposition_consistent():
+    kc, ks = jax.random.split(jax.random.PRNGKey(1))
+    cp, _ = fnn.init(kc)
+    sp = lstm.init(ks)
+    rng = np.random.RandomState(1)
+    x_ctrl = jnp.asarray(rng.randn(4, 3), jnp.float32) * 0.2
+    window = jnp.asarray(rng.randn(4, 10, 5), jnp.float32) * 0.2
+    u = fnn.apply(cp, x_ctrl)
+    l, out = mpc_loss.mpc_loss(cp, sp, x_ctrl, u, window, horizon=5, alpha=20.0)
+    assert out.loss.shape == (4,)
+    assert out.prediction.shape == (4, 5)
+    np.testing.assert_allclose(float(l), float(np.mean(np.array(out.loss))),
+                               rtol=1e-6)
+    # error + command <= total (constraint cost is nonnegative)
+    assert np.all(np.array(out.error + out.command) <= np.array(out.loss) + 1e-6)
+
+
+# ---------------------------------------------------------------- training
+
+def test_supervised_training_reduces_loss():
+    rng = np.random.RandomState(0)
+    x = rng.randn(2000, 3).astype(np.float32)
+    w_true = np.array([[0.5], [-0.3], [0.1]], np.float32)
+    y = np.tanh(x @ w_true).astype(np.float32)
+    params, _ = fnn.init(jax.random.PRNGKey(0))
+    params, report = train.train_supervised(
+        params, x[:1600], y[:1600], x[1600:], y[1600:], epochs=20,
+        batch_size=256)
+    assert report.val_losses[-1] < report.val_losses[0]
+    assert report.val_losses[-1] < 0.06
+
+
+def test_surrogate_training_reduces_loss():
+    rng = np.random.RandomState(0)
+    x = rng.randn(600, 10, 5).astype(np.float32) * 0.3
+    y = x[:, -1, :4] * 0.9  # learnable next-step map
+    params = lstm.init(jax.random.PRNGKey(0))
+    params, report = train.train_surrogate(
+        params, x[:500], y[:500], x[500:], y[500:], epochs=8, batch_size=64)
+    assert report.val_losses[-1] < report.val_losses[0] * 0.5
+
+
+def test_unsupervised_training_step_runs():
+    kc, ks = jax.random.split(jax.random.PRNGKey(0))
+    cp, _ = fnn.init(kc)
+    sp = lstm.init(ks)
+    rng = np.random.RandomState(0)
+    x = rng.randn(60, 3).astype(np.float32) * 0.3
+    u = rng.randn(60, 1).astype(np.float32) * 0.1
+    z = rng.randn(60, 10, 5).astype(np.float32) * 0.3
+    cp, report = train.train_unsupervised(
+        cp, sp, x[:45], u[:45], z[:45], x[45:], u[45:],
+        horizon=5, epochs=2, batch_size=15)
+    assert len(report.train_losses) == 2
+    assert np.all(np.isfinite(report.train_losses))

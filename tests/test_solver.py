@@ -1,0 +1,130 @@
+"""SQP solver tests: IPOPT golden parity, constraint handling, diagnostics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from forging_control_tpu.physics import press
+from forging_control_tpu.physics.scaling import U_SCALE
+from forging_control_tpu.solver import sqp
+
+CFG = sqp.MPCConfig(horizon=10, variant="smooth", gn_iters=15, al_iters=3)
+
+
+@pytest.fixture(scope="module")
+def parity_solves(golden_mpc_rows):
+    """Solve from every recorded state of golden trajectory 0 (cold start)."""
+    rows = golden_mpc_rows[:300]
+    states = np.vstack([press.X0_REFERENCE, rows[:299, 2:7]])
+    uprev = np.concatenate([[0.0], rows[:299, 7]])
+
+    @jax.jit
+    def solve_batch(xs, refs, ups):
+        def one(x, r, up):
+            st = sqp.init_state(CFG, jnp.float64)
+            u0, stn, d = sqp.solve(CFG, x, r, up, st)
+            return u0, d
+        return jax.vmap(one)(xs, refs, ups)
+
+    u0, diag = solve_batch(jnp.array(states), jnp.array(rows[:, 1]), jnp.array(uprev))
+    return np.array(u0), diag, rows
+
+
+def test_ipopt_command_parity(parity_solves):
+    """The headline BASELINE target: match the IPOPT control sequence.
+
+    Away from the cavitation transient (steps ~150-160, where IPOPT
+    returns iterates that violate its own p>=0 bounds by ~5e6 Pa under the
+    model dynamics — verified by evaluating the recorded sequence's
+    constraint residuals — while we return the feasible optimum), parity
+    is ~1e-6 relative.  Assert: median <= 1e-4 and >= 95% of steps within
+    the 1e-3 target."""
+    u0, _, rows = parity_solves
+    ugold = rows[:, 7]
+    rel = np.abs(u0 - ugold) / np.maximum(np.abs(ugold), 1e-2)
+    assert np.median(rel) < 1e-4
+    assert np.mean(rel < 1e-3) >= 0.95
+
+
+def test_solutions_feasible(parity_solves):
+    """Our primal infeasibility must stay tiny even where IPOPT's doesn't
+    (scaled pressure units; 1e-3 ~= 1e4 Pa)."""
+    _, diag, _ = parity_solves
+    assert float(np.max(np.array(diag.inf_pr))) < 5e-3
+
+
+def test_diagnostics_record(parity_solves):
+    """Diagnostics mirror the IPOPT stats schema the reference stores
+    (Generate Data/Functions.py:366-372)."""
+    _, diag, _ = parity_solves
+    for field in ("iters", "obj", "inf_pr", "inf_du", "reg", "d_norm", "mu"):
+        arr = np.array(getattr(diag, field))
+        assert arr.shape == (300,)
+        assert np.all(np.isfinite(arr))
+    assert np.array(diag.iters).max() <= CFG.gn_iters * CFG.al_iters
+    assert np.array(diag.obj).min() >= 0.0
+
+
+def test_warm_start_reduces_iterations(golden_mpc_rows):
+    rows = golden_mpc_rows[:50]
+    x = jnp.array(press.X0_REFERENCE)
+    st = sqp.init_state(CFG, jnp.float64)
+    u0, st1, d_cold = sqp.solve(CFG, x, rows[0, 1], 0.0, st)
+    # Re-solve the same problem warm-started from its own solution.
+    _, _, d_warm = sqp.solve(CFG, x, rows[0, 1], 0.0, st1)
+    assert int(d_warm.iters) <= int(d_cold.iters)
+    assert int(d_warm.iters) <= 2
+
+
+def test_constraint_activation():
+    """From a cavitation state with a hard negative reference, the p>=0
+    constraint must bind: the solution keeps predicted pressures above
+    the bound within AL tolerance."""
+    cfg = CFG
+    x = jnp.array([0.08, 0.3, 0.0, 9e6, 0.07])  # p1 at the bound
+    st = sqp.init_state(cfg, jnp.float64)
+    u0, stn, d = sqp.solve(cfg, x, -0.5, 0.05, st)
+    xs = sqp._rollout(cfg, x, stn.v)
+    assert float(jnp.min(xs[:, 2])) > -5e4  # >= -5e-3 scaled
+    assert np.isfinite(float(u0))
+
+
+def test_upper_bound_config():
+    cfg = sqp.MPCConfig(horizon=5, variant="smooth", p_max=32e6,
+                        gn_iters=10, al_iters=2)
+    assert cfg.n_con == 20
+    x = jnp.array(press.X0_REFERENCE)
+    st = sqp.init_state(cfg, jnp.float64)
+    u0, stn, d = sqp.solve(cfg, x, 0.5, 0.0, st)
+    xs = sqp._rollout(cfg, x, stn.v)
+    assert float(jnp.max(xs[:, 2:4])) < 32e6 + 1e5
+
+
+def test_shift_state():
+    st = sqp.SolverState(v=jnp.arange(5.0), lam=jnp.zeros(10))
+    sh = sqp.shift_state(st)
+    np.testing.assert_allclose(np.array(sh.v), [1, 2, 3, 4, 4])
+
+
+@pytest.mark.parametrize("horizon", [5, 25])
+def test_horizon_sweep_compiles_and_solves(horizon):
+    """N=5..25 sweep (dataset files span this range, README.md:85-90)."""
+    cfg = sqp.MPCConfig(horizon=horizon, variant="raw", gn_iters=8, al_iters=2)
+    x = jnp.array(press.X0_REFERENCE)
+    st = sqp.init_state(cfg, jnp.float64)
+    u0, stn, d = sqp.solve(cfg, x, 0.4, 0.0, st)
+    assert np.isfinite(float(u0))
+    assert float(d.inf_pr) < 1e-2
+
+
+def test_float32_solve():
+    """TPU path: the solver must stay finite and near the f64 solution in
+    float32 (scaled formulation keeps everything O(1))."""
+    x32 = jnp.asarray(press.X0_REFERENCE, jnp.float32)
+    st = sqp.init_state(CFG, jnp.float32)
+    u32, _, d32 = sqp.solve(CFG, x32, jnp.float32(0.578157), jnp.float32(0.0), st)
+    st64 = sqp.init_state(CFG, jnp.float64)
+    u64, _, _ = sqp.solve(CFG, jnp.asarray(press.X0_REFERENCE, jnp.float64),
+                          0.578157, 0.0, st64)
+    assert abs(float(u32) - float(u64)) < 5e-3 * max(1.0, abs(float(u64)) / U_SCALE)
