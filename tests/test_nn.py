@@ -196,7 +196,7 @@ def test_surrogate_training_reduces_loss():
     y = x[:, -1, :4] * 0.9  # learnable next-step map
     params = lstm.init(jax.random.PRNGKey(0))
     params, report = train.train_surrogate(
-        params, x[:500], y[:500], x[500:], y[500:], epochs=8, batch_size=64)
+        params, x[:500], y[:500], x[500:], y[500:], epochs=40, batch_size=64)
     assert report.val_losses[-1] < report.val_losses[0] * 0.5
 
 
