@@ -1,0 +1,73 @@
+"""Headline benchmark: MPC solves/s/chip at the N=10 horizon.
+
+Runs the full closed-loop MPC engine (SQP solve + RK4 plant + telemetry,
+one compiled scan) over a scenario batch on the available accelerator and
+reports throughput in closed-loop MPC solves per second per chip.
+
+Baseline: the reference's IPOPT MPC at N=10 runs at ~64.9 solves/s/core
+(median per-step latency 15.402 ms, no-noise config —
+``Supervised Learning/Tables/Normal/MPC_results_N_10.csv``; see
+BASELINE.md).  vs_baseline = ours / 64.9.
+
+Output: ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+Env knobs: BENCH_BATCH (default 1024), BENCH_STEPS (default 300),
+BENCH_HORIZON (default 10), BENCH_REPS (default 3).
+"""
+
+import json
+import os
+import sys
+import time
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from forging_control_tpu.loop import closed_loop as cl
+    from forging_control_tpu.refgen import streams
+    from forging_control_tpu.solver import sqp
+
+    B = int(os.environ.get("BENCH_BATCH", 1024))
+    T = int(os.environ.get("BENCH_STEPS", 300))
+    N = int(os.environ.get("BENCH_HORIZON", 10))
+    reps = int(os.environ.get("BENCH_REPS", 3))
+    dtype = jnp.float32
+
+    loop_cfg = cl.LoopConfig(t_steps=T, variant="smooth")
+    ctrl = cl.MPCController(
+        sqp.MPCConfig(horizon=N, variant="smooth", gn_iters=6, al_iters=2))
+
+    key = jax.random.PRNGKey(0)
+    refs = streams.sample_references(key, B, "supervised", t_steps=T,
+                                    dtype=dtype)
+    x0 = jnp.tile(jnp.asarray(cl.press.X0_REFERENCE, dtype), (B, 1))
+
+    run = jax.jit(lambda x, r, k: cl.run_batch(loop_cfg, ctrl, x, r, k))
+
+    # Warmup / compile
+    _, telem = run(x0, refs, key)
+    telem.u.block_until_ready()
+    assert bool(np.isfinite(np.asarray(telem.u)).all()), "non-finite commands"
+
+    best = float("inf")
+    for i in range(reps):
+        t0 = time.perf_counter()
+        _, telem = run(x0, refs, jax.random.PRNGKey(i + 1))
+        telem.u.block_until_ready()
+        best = min(best, time.perf_counter() - t0)
+
+    solves_per_s = (B * T) / best
+    baseline = 64.9  # reference IPOPT solves/s (median), BASELINE.md
+    print(json.dumps({
+        "metric": f"closed-loop MPC solves/s/chip (N={N}, batch={B})",
+        "value": round(solves_per_s, 1),
+        "unit": "solves/s",
+        "vs_baseline": round(solves_per_s / baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,94 @@
+"""Typed experiment configuration.
+
+Replaces the reference's module-level USER SETTINGS constant blocks
+(``Supervised Learning/Main.py:62-135``, ``Generate Data/Main.py:40-58``)
+with dataclasses carrying the same switch set (SURVEY.md section 5,
+"Config / flag system").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class Flags:
+    """USER SETTINGS booleans (Supervised Learning/Main.py:62-80)."""
+
+    enable_mpc: bool = True
+    silence_solver: bool = True
+    enable_noise: bool = False
+    enable_training: bool = True
+    enable_feasibility: bool = False
+    show_plots: bool = False
+    show_comparison: bool = False
+    enable_debug: bool = False
+
+
+# Process-noise std per state for dataset generation
+# (Generate Data/Main.py:49-58).
+PROCESS_STD = (5e-1, 2e0, 5e7, 5e7, 2e0)
+MEAS_STD = (0.0, 0.0, 0.0, 0.0, 0.0)
+
+
+@dataclasses.dataclass(frozen=True)
+class GenerateConfig:
+    """Dataset generation (Generate Data/Main.py:40-58)."""
+
+    n_traj: int = 80
+    t_traj: int = 300
+    horizon: int = 25
+    variant_model: str = "raw"        # Generate Data uses the raw model
+    ref_variant: str = "generate"
+    process_std: tuple = PROCESS_STD
+    meas_std: tuple = MEAS_STD
+    flags: Flags = Flags()
+
+
+@dataclasses.dataclass(frozen=True)
+class SupervisedConfig:
+    """Supervised run (Supervised Learning/Main.py:86-135)."""
+
+    horizon: int = 10
+    n_traj_eval: int = 2
+    t_traj: int = 300
+    lr: float = 1e-3
+    epochs: int = 20
+    batch_size: int = 256
+    hidden_dim: int = 50
+    width_dim: int = 1
+    scaler: str = "maxabs"
+    lb_u: float = -0.2
+    ub_u: float = 0.2
+    flags: Flags = Flags()
+
+
+@dataclasses.dataclass(frozen=True)
+class SurrogateConfig:
+    """LSTM surrogate run (Unsupervised Learning/Model_NN/Main.py)."""
+
+    horizons: tuple = (5, 10, 15, 20, 25)
+    lookback: int = 10
+    hidden_dim: int = 50
+    num_layers: int = 3
+    lr: float = 1e-3
+    epochs: int = 50
+    batch_size: int = 256
+    flags: Flags = Flags()
+
+
+@dataclasses.dataclass(frozen=True)
+class UnsupervisedConfig:
+    """MPC-loss controller run (Unsupervised Learning/Main.py:86-135)."""
+
+    horizon: int = 10
+    lookback: int = 10
+    alpha: float = 20.0
+    lr: float = 1e-4
+    epochs: int = 20
+    total_batch_size: int = 150       # BATCH_SIZE = 150 // N (Main.py:282-309)
+    flags: Flags = Flags()
+
+    @property
+    def batch_size(self) -> int:
+        return self.total_batch_size // self.horizon

@@ -1,0 +1,157 @@
+"""Supervised imitation pipeline.
+
+Replaces ``Supervised Learning/Main.py``: train an FNN controller to
+imitate recorded MPC commands, then evaluate MPC and NN in closed loop on
+the same seeded reference streams and tabulate the comparison.
+
+Call stack parity (SURVEY.md section 3.2):
+  1. dataset -> features [y_dot, z, ref], target u   (Main.py:176-190)
+  2. 60/20/20 trajectory-ordered split, MaxAbs scalers fit on train
+     (Main.py:196-231)
+  3. FNN 3->50->1, L1 loss, AdamW lr=1e-3, 20 epochs   (Main.py:272-286)
+  4. held-out imitation metrics (scaled MAE/RMSE/R2)   (Main.py:305-317)
+  5. MPC baseline closed loop                           (Main.py:391-420)
+  6. NN closed loop (optional feasibility recovery)     (Main.py:610-646)
+  7. tables + dataframe dumps                           (Main.py:820-859)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..eval import metrics, report
+from ..loop import closed_loop as cl
+from ..nn import datasets, fnn, scalers, train
+from ..refgen import streams
+from ..solver import feasibility, sqp
+from .config import PROCESS_STD, SupervisedConfig
+
+
+@dataclasses.dataclass
+class SupervisedArtifacts:
+    params: dict
+    in_scaler: scalers.Scaler
+    out_scaler: scalers.Scaler
+    test_metrics: dict
+    train_report: train.TrainReport
+    mpc_metrics: dict | None = None
+    nn_metrics: dict | None = None
+    mpc_telem: object = None
+    nn_telem: object = None
+
+
+def prepare_data(results: dict, cfg: SupervisedConfig):
+    """Features/targets/scalers from a generated dataset (Main.py:176-231)."""
+    feats = np.stack([results["y_dot"].ravel(), results["z"].ravel(),
+                      results["ref"].ravel()], axis=1)
+    targ = results["u"].ravel()[:, None]
+    tr, va, te = datasets.split_603030(len(feats))
+    in_sc = scalers.fit(cfg.scaler, feats[tr])
+    out_sc = scalers.fit(cfg.scaler, targ[tr])
+
+    def prep(sl):
+        return (np.asarray(in_sc.transform(jnp.asarray(feats[sl]))),
+                np.asarray(out_sc.transform(jnp.asarray(targ[sl]))))
+
+    return prep(tr), prep(va), prep(te), in_sc, out_sc
+
+
+def run(results: dict, cfg: SupervisedConfig = SupervisedConfig(), *,
+        seed: int = 0, closed_loop_eval: bool = True,
+        out_dir: str | None = None, dtype=jnp.float32) -> SupervisedArtifacts:
+    (xtr, ytr), (xva, yva), (xte, yte), in_sc, out_sc = prepare_data(results, cfg)
+
+    params, _ = fnn.init(jax.random.PRNGKey(seed), hidden_dim=cfg.hidden_dim,
+                         width_dim=cfg.width_dim, dtype=dtype)
+    if cfg.flags.enable_training:
+        params, rep = train.train_supervised(
+            params, xtr, ytr, xva, yva, width_dim=cfg.width_dim,
+            lr=cfg.lr, epochs=cfg.epochs, batch_size=cfg.batch_size,
+            seed=seed)
+    else:
+        rep = train.TrainReport()
+
+    # Held-out imitation metrics in scaled units (Main.py:305-317)
+    pred = fnn.apply(params, jnp.asarray(xte), cfg.width_dim)
+    test_metrics = {
+        "MAE": float(metrics.mae(jnp.asarray(yte), pred)),
+        "RMSE": float(metrics.rmse(jnp.asarray(yte), pred)),
+        "R2": float(metrics.r2(jnp.asarray(yte), pred)),
+        "Training_time": rep.wall_time_s,
+    }
+
+    art = SupervisedArtifacts(params, in_sc, out_sc, test_metrics, rep)
+    if not closed_loop_eval:
+        return art
+
+    # Closed-loop A/B on the same seeded reference streams (sections 5-6)
+    loop_cfg = cl.LoopConfig(
+        t_steps=cfg.t_traj, variant="smooth",
+        process_std=PROCESS_STD if cfg.flags.enable_noise else (0.0,) * 5)
+    refs = jnp.asarray(streams.reference_table(
+        cfg.n_traj_eval, "supervised", cfg.t_traj), dtype)
+    x0 = jnp.tile(jnp.asarray(cl.press.X0_REFERENCE, dtype),
+                  (cfg.n_traj_eval, 1))
+    key = jax.random.PRNGKey(seed + 1)
+
+    mpc_cfg = sqp.MPCConfig(
+        horizon=cfg.horizon, variant="smooth", gn_iters=6, al_iters=2,
+        p_max=32e6 if cfg.flags.enable_feasibility else None)
+    mpc_ctrl = cl.MPCController(mpc_cfg)
+
+    policy = fnn.make_policy(params, in_sc, out_sc, cfg.width_dim,
+                             cfg.lb_u, cfg.ub_u)
+    if cfg.flags.enable_feasibility:
+        policy = feasibility.make_recovering_policy(
+            policy, feasibility.FeasibilityConfig(), cfg.lb_u, cfg.ub_u)
+    nn_ctrl = cl.FunctionController(policy)
+
+    def timed_run(ctrl):
+        run_fn = jax.jit(lambda x, r, k: cl.run_batch(loop_cfg, ctrl, x, r, k))
+        _, telem = run_fn(x0, refs, key)          # compile + run
+        telem.u.block_until_ready()
+        t0 = time.perf_counter()
+        _, telem = run_fn(x0, refs, key)
+        telem.u.block_until_ready()
+        elapsed = time.perf_counter() - t0
+        per_step_ms = elapsed / cfg.t_traj * 1e3  # batched steps amortized
+        return telem, per_step_ms
+
+    def loop_metrics(telem, per_step_ms):
+        ref = np.asarray(telem.ref).ravel()
+        y_dot = np.asarray(telem.x[..., 1]).ravel()
+        m = {k: float(v) for k, v in metrics.tracking_metrics(
+            jnp.asarray(ref), jnp.asarray(y_dot)).items()}
+        m["Command"] = float(np.abs(np.asarray(telem.u)).mean())
+        m["Mean_time"] = per_step_ms
+        m["Median_time"] = per_step_ms
+        return m
+
+    mpc_telem, mpc_ms = timed_run(mpc_ctrl)
+    nn_telem, nn_ms = timed_run(nn_ctrl)
+    art.mpc_metrics = loop_metrics(mpc_telem, mpc_ms)
+    art.nn_metrics = loop_metrics(nn_telem, nn_ms)
+    art.mpc_telem = mpc_telem
+    art.nn_telem = nn_telem
+
+    if out_dir:
+        sfx = f"N_{cfg.horizon}" + ("_process_noise" if cfg.flags.enable_noise else "")
+        sub = "Feasibility" if cfg.flags.enable_feasibility else "Normal"
+        report.show_tabulate(art.test_metrics,
+                             f"{out_dir}/Tables/{sub}/test_results_{sfx}.csv",
+                             echo=False)
+        report.show_tabulate(art.mpc_metrics,
+                             f"{out_dir}/Tables/{sub}/MPC_results_{sfx}.csv",
+                             echo=False)
+        report.show_tabulate(art.nn_metrics,
+                             f"{out_dir}/Tables/{sub}/NN_results_{sfx}.csv",
+                             echo=False)
+        report.dump_dataframe(f"{out_dir}/results/MPC_dataframe.txt", mpc_telem)
+        report.dump_dataframe(f"{out_dir}/results/Supervised_dataframe.txt",
+                              nn_telem)
+    return art

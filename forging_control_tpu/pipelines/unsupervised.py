@@ -1,0 +1,140 @@
+"""Unsupervised (MPC-loss) controller pipeline.
+
+Replaces ``Unsupervised Learning/Main.py``: train the FNN controller
+against the differentiable MPC-inspired loss unrolled through the frozen
+LSTM surrogate, then evaluate in closed loop against the true plant with a
+parallel free-running surrogate rollout (call stack in SURVEY.md
+section 3.4)."""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..eval import metrics
+from ..loop import closed_loop as cl
+from ..nn import datasets, fnn, scalers, surrogate_eval, train
+from ..refgen import streams
+from ..solver import feasibility, sqp
+from .config import UnsupervisedConfig
+from .surrogate import SURROGATE_FEATURES
+
+
+@dataclasses.dataclass
+class UnsupervisedArtifacts:
+    params: dict
+    in_scaler: scalers.Scaler
+    out_scaler: scalers.Scaler
+    test_metrics: dict
+    train_report: train.TrainReport
+    nn_metrics: dict | None = None
+    surrogate_drift: dict | None = None
+    nn_telem: object = None
+
+
+def prepare_data(results: dict, state_scaler, cfg: UnsupervisedConfig,
+                 scaler_kind: str = "maxabs"):
+    """Controller features [y_dot, z, ref] (ref scaled with the *y_dot*
+    scaler, Unsupervised Learning/Main.py:235-261), target u at t+1, and
+    recurrent surrogate windows; every-N-th resampling (Main.py:282-309)."""
+    y_dot = results["y_dot"].ravel()
+    z = results["z"].ravel()
+    ref = results["ref"].ravel()
+    u = results["u"].ravel()[:, None]
+
+    tr, va, te = datasets.split_603030(len(y_dot))
+
+    ydot_sc = scalers.fit(scaler_kind, y_dot[tr, None])
+    z_sc = scalers.fit(scaler_kind, z[tr, None])
+    u_sc = scalers.fit(scaler_kind, u[tr])
+
+    feats = np.stack([
+        np.asarray(ydot_sc.transform(jnp.asarray(y_dot[:, None])))[:, 0],
+        np.asarray(z_sc.transform(jnp.asarray(z[:, None])))[:, 0],
+        np.asarray(ydot_sc.transform(jnp.asarray(ref[:, None])))[:, 0],
+    ], axis=1)
+    targ = np.asarray(u_sc.transform(jnp.asarray(u)))
+
+    track = np.stack([results[k].ravel() for k in SURROGATE_FEATURES], axis=1)
+    track_s = np.asarray(state_scaler.transform(jnp.asarray(track)))
+
+    def triples(sl):
+        x, y, zz = datasets.unsupervised_triples(
+            feats[sl], targ[sl], track_s[sl], cfg.lookback)
+        keep = datasets.resample_every(len(x), cfg.horizon)
+        return (x[keep].astype(np.float32), y[keep].astype(np.float32),
+                zz[keep].astype(np.float32))
+
+    in_sc = scalers.Scaler(
+        shift=jnp.concatenate([ydot_sc.shift[:1], z_sc.shift[:1],
+                               ydot_sc.shift[:1]]),
+        scale=jnp.concatenate([ydot_sc.scale[:1], z_sc.scale[:1],
+                               ydot_sc.scale[:1]]))
+    return triples(tr), triples(va), triples(te), in_sc, u_sc
+
+
+def run(results: dict, surrogate_params, state_scaler,
+        cfg: UnsupervisedConfig = UnsupervisedConfig(), *, seed: int = 0,
+        closed_loop_eval: bool = True, dtype=jnp.float32,
+        t_traj: int = 300, n_traj_eval: int = 2) -> UnsupervisedArtifacts:
+    (xtr, utr, ztr), (xva, uva, _), (xte, ute, _), in_sc, u_sc = prepare_data(
+        results, state_scaler, cfg)
+
+    params, _ = fnn.init(jax.random.PRNGKey(seed), dtype=dtype)
+    if cfg.flags.enable_training:
+        params, rep = train.train_unsupervised(
+            params, surrogate_params, xtr, utr, ztr, xva, uva,
+            horizon=cfg.horizon, alpha=cfg.alpha, lr=cfg.lr,
+            epochs=cfg.epochs, batch_size=max(cfg.batch_size, 1),
+            enable_noise=cfg.flags.enable_noise, seed=seed)
+    else:
+        rep = train.TrainReport()
+
+    pred = fnn.apply(params, jnp.asarray(xte))
+    test_metrics = {
+        "MAE": float(metrics.mae(jnp.asarray(ute), pred)),
+        "RMSE": float(metrics.rmse(jnp.asarray(ute), pred)),
+        "R2": float(metrics.r2(jnp.asarray(ute), pred)),
+        "Training_time": rep.wall_time_s,
+    }
+    art = UnsupervisedArtifacts(params, in_sc, u_sc, test_metrics, rep)
+    if not closed_loop_eval:
+        return art
+
+    policy = fnn.make_policy(params, in_sc, u_sc)
+    if cfg.flags.enable_feasibility:
+        policy = feasibility.make_recovering_policy(
+            policy, feasibility.FeasibilityConfig())
+    ctrl = cl.FunctionController(policy)
+    loop_cfg = cl.LoopConfig(t_steps=t_traj, variant="smooth")
+    refs = jnp.asarray(streams.reference_table(n_traj_eval, "unsupervised",
+                                               t_traj), dtype)
+    x0 = jnp.tile(jnp.asarray(cl.press.X0_REFERENCE, dtype), (n_traj_eval, 1))
+    run_fn = jax.jit(lambda x, r, k: cl.run_batch(loop_cfg, ctrl, x, r, k))
+    _, telem = run_fn(x0, refs, jax.random.PRNGKey(seed + 1))
+    telem.u.block_until_ready()
+    t0 = time.perf_counter()
+    _, telem = run_fn(x0, refs, jax.random.PRNGKey(seed + 1))
+    telem.u.block_until_ready()
+    per_step_ms = (time.perf_counter() - t0) / t_traj * 1e3
+
+    ref = np.asarray(telem.ref).ravel()
+    y_dot = np.asarray(telem.x[..., 1]).ravel()
+    nn_metrics = {k: float(v) for k, v in metrics.tracking_metrics(
+        jnp.asarray(ref), jnp.asarray(y_dot)).items()}
+    nn_metrics["Command"] = float(np.abs(np.asarray(telem.u)).mean())
+    nn_metrics["Mean_time"] = per_step_ms
+    art.nn_metrics = nn_metrics
+    art.nn_telem = telem
+
+    # Parallel free-running surrogate rollout vs truth
+    # (Unsupervised Learning/Functions.py:1014-1289)
+    track = surrogate_eval.build_feature_track(telem, state_scaler, traj=0)
+    preds = surrogate_eval.free_running(surrogate_params, track, cfg.lookback)
+    art.surrogate_drift = surrogate_eval.fidelity_metrics(
+        preds[:-1], track[cfg.lookback + 1:, :4])
+    return art
