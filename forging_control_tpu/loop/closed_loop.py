@@ -124,6 +124,7 @@ def run_trajectory(loop_cfg: LoopConfig, controller, x0, refs, key,
         Fd = press.forging_force(x_meas[0], x_meas[1], loop_cfg.params)
 
         u0, ctrl_carry, diag = controller.step(ctrl_carry, x_meas, ref, u_prev)
+        u0 = jnp.asarray(u0, dtype)  # guard against scaler dtype promotion
 
         key, kw, kv = jax.random.split(key, 3)
         w = jax.random.normal(kw, (5,), dtype) * p_std

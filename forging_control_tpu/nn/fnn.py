@@ -63,7 +63,7 @@ def make_policy(params, in_scaler, out_scaler, width_dim=1, lb=-0.2, ub=0.2):
         feats = jnp.stack([x_meas[1], x_meas[4], ref])
         z = in_scaler.transform(feats)
         u_s = apply(params, z[None, :], width_dim)[0, 0]
-        u = out_scaler.inverse(u_s)
+        u = jnp.squeeze(out_scaler.inverse(u_s))
         return jnp.clip(u, lb, ub)
 
     return policy

@@ -1,0 +1,83 @@
+"""End-to-end pipeline tests at reduced scale (CPU-friendly).
+
+Exercises the full L8-equivalent workflows: dataset generation ->
+supervised imitation -> surrogate training -> unsupervised MPC-loss
+training, mirroring the reference call stacks (SURVEY.md section 3)."""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from forging_control_tpu.pipelines import (config, generate_data, supervised,
+                                           surrogate, unsupervised)
+
+
+@pytest.fixture(scope="module")
+def small_dataset():
+    cfg = config.GenerateConfig(
+        n_traj=4, t_traj=60, horizon=5,
+        flags=config.Flags(enable_noise=True))
+    telem, results = generate_data.run(cfg, seed=0, dtype=jnp.float64)
+    return cfg, telem, results
+
+
+def test_generate_dataset(small_dataset, tmp_path):
+    cfg, telem, results = small_dataset
+    assert results["u"].shape == (4, 60)
+    assert results["w"].std() > 0          # noise actually injected
+    summ = generate_data.summarize(results)
+    assert np.isfinite(summ["MAE"]) and summ["MAE"] < 0.5
+    assert summ["inf_pr_max"] < 0.1
+    p = generate_data.dataset_path(str(tmp_path), cfg.horizon)
+    generate_data.save(results, p)
+    loaded = generate_data.load(p)
+    np.testing.assert_array_equal(loaded["u"], results["u"])
+
+
+def test_supervised_pipeline(small_dataset, tmp_path):
+    _, _, results = small_dataset
+    cfg = config.SupervisedConfig(
+        horizon=5, n_traj_eval=1, t_traj=30, epochs=3, batch_size=32)
+    art = supervised.run(results, cfg, seed=0, closed_loop_eval=True,
+                         out_dir=str(tmp_path), dtype=jnp.float64)
+    assert np.isfinite(art.test_metrics["MAE"])
+    assert art.mpc_metrics is not None and art.nn_metrics is not None
+    assert np.isfinite(art.nn_metrics["MAE"])
+    # artifacts written in the reference layout
+    assert (tmp_path / "Tables/Normal/test_results_N_5.csv").exists()
+    assert (tmp_path / "results/MPC_dataframe.txt").exists()
+    rows = np.loadtxt(tmp_path / "results/MPC_dataframe.txt", skiprows=1)
+    assert rows.shape == (30, 8)
+
+
+def test_surrogate_pipeline(small_dataset):
+    _, _, results = small_dataset
+    cfg = config.SurrogateConfig(lookback=10, epochs=3, batch_size=32)
+    art = surrogate.run([results], cfg, seed=0, eval_results=results)
+    assert np.isfinite(art.test_metrics["MAE"])
+    assert art.closed_loop_metrics is not None
+    assert np.isfinite(art.closed_loop_metrics["MAE"])
+
+
+def test_unsupervised_pipeline(small_dataset):
+    _, _, results = small_dataset
+    s_cfg = config.SurrogateConfig(epochs=2, batch_size=32)
+    s_art = surrogate.run([results], s_cfg, seed=0)
+    u_cfg = config.UnsupervisedConfig(horizon=5, epochs=2)
+    art = unsupervised.run(results, s_art.params, s_art.state_scaler, u_cfg,
+                           seed=0, closed_loop_eval=True, t_traj=30,
+                           n_traj_eval=1)
+    assert np.isfinite(art.test_metrics["MAE"])
+    assert art.nn_metrics is not None and np.isfinite(art.nn_metrics["MAE"])
+    assert art.surrogate_drift is not None
+
+
+def test_flags_disable_training(small_dataset):
+    _, _, results = small_dataset
+    cfg = dataclasses.replace(
+        config.SupervisedConfig(horizon=5, epochs=1),
+        flags=config.Flags(enable_training=False))
+    art = supervised.run(results, cfg, closed_loop_eval=False)
+    assert art.train_report.train_losses == []
