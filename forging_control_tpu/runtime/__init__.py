@@ -1,0 +1,137 @@
+"""Native realtime runtime — ctypes bindings.
+
+C++ closed-loop executor (policy + plant at the 1 ms period) built from
+``runtime/src`` with g++ on first use.  See ``src/executor.cpp`` for the
+design rationale; this module exposes:
+
+* :func:`build` / :func:`load` — compile/load ``libforging_rt.so``
+* :class:`RealtimeExecutor` — episode runner with per-step latency capture
+* :func:`rhs` / :func:`rk4` — native physics hooks for parity tests
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+_SRC_DIR = os.path.join(os.path.dirname(__file__), "src")
+_LIB_PATH = os.path.join(os.path.dirname(__file__), "libforging_rt.so")
+
+VARIANTS = {"raw": 0, "smooth": 1, "clamp": 2}
+
+_lib: Optional[ctypes.CDLL] = None
+
+
+def build(force: bool = False) -> str:
+    """Compile the runtime shared library (g++ -O3)."""
+    src = os.path.join(_SRC_DIR, "executor.cpp")
+    if force or not os.path.exists(_LIB_PATH) or (
+            os.path.getmtime(_LIB_PATH) < max(
+                os.path.getmtime(os.path.join(_SRC_DIR, f))
+                for f in os.listdir(_SRC_DIR))):
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", src,
+             "-o", _LIB_PATH],
+            check=True, capture_output=True)
+    return _LIB_PATH
+
+
+def load() -> ctypes.CDLL:
+    global _lib
+    if _lib is None:
+        lib = ctypes.CDLL(build())
+        D = ctypes.c_double
+        P = ctypes.POINTER(D)
+        I64P = ctypes.POINTER(ctypes.c_int64)
+        lib.fc_create.restype = ctypes.c_void_p
+        lib.fc_create.argtypes = [ctypes.c_int, D, ctypes.c_int]
+        lib.fc_destroy.argtypes = [ctypes.c_void_p]
+        lib.fc_reset.argtypes = [ctypes.c_void_p, P]
+        lib.fc_load_policy.restype = ctypes.c_int
+        lib.fc_load_policy.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            P, P, P, P, P, P, P, D, D, D, D]
+        lib.fc_plant_step.argtypes = [ctypes.c_void_p, D, P, P]
+        lib.fc_step.restype = D
+        lib.fc_step.argtypes = [ctypes.c_void_p, D, P, P, I64P]
+        lib.fc_run_episode.argtypes = [
+            ctypes.c_void_p, P, P, ctypes.c_int, P, P, I64P]
+        lib.fc_rhs.argtypes = [ctypes.c_int, P, D, P]
+        lib.fc_rk4.argtypes = [ctypes.c_int, P, D, D, ctypes.c_int]
+        _lib = lib
+    return _lib
+
+
+def _dp(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
+
+def rhs(x, u, variant="smooth") -> np.ndarray:
+    lib = load()
+    x = np.ascontiguousarray(x, np.float64)
+    out = np.empty(5)
+    lib.fc_rhs(VARIANTS[variant], _dp(x), float(u), _dp(out))
+    return out
+
+
+def rk4(x, u, dt=1e-3, substeps=4, variant="smooth") -> np.ndarray:
+    lib = load()
+    x = np.ascontiguousarray(np.array(x, np.float64, copy=True))
+    lib.fc_rk4(VARIANTS[variant], _dp(x), float(u), float(dt), int(substeps))
+    return x
+
+
+class RealtimeExecutor:
+    """Native closed-loop runner for a trained FNN policy."""
+
+    def __init__(self, variant="smooth", dt=1e-3, substeps=4):
+        self._lib = load()
+        self._h = self._lib.fc_create(VARIANTS[variant], dt, substeps)
+        if not self._h:
+            raise MemoryError("fc_create failed")
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            self._lib.fc_destroy(self._h)
+            self._h = None
+
+    def load_fnn_policy(self, params, in_scaler, out_scaler, width_dim=1,
+                        lb=-0.2, ub=0.2):
+        """Load JAX FNN params + scalers (nn/fnn.py layout)."""
+        w_in = np.ascontiguousarray(params["w_in"], np.float64)
+        b_in = np.ascontiguousarray(params["b_in"], np.float64)
+        w_int = np.ascontiguousarray(params["w_int"], np.float64)
+        b_int = np.ascontiguousarray(params["b_int"], np.float64)
+        w_out = np.ascontiguousarray(params["w_out"], np.float64).ravel()
+        hid = w_in.shape[1]
+        in_shift = np.ascontiguousarray(
+            np.broadcast_to(np.asarray(in_scaler.shift, np.float64), (3,)))
+        in_scale = np.ascontiguousarray(
+            np.broadcast_to(np.asarray(in_scaler.scale, np.float64), (3,)))
+        out_shift = float(np.asarray(out_scaler.shift).ravel()[0])
+        out_scale = float(np.asarray(out_scaler.scale).ravel()[0])
+        rc = self._lib.fc_load_policy(
+            self._h, 3, hid, width_dim, _dp(w_in), _dp(b_in), _dp(w_int),
+            _dp(b_int), _dp(w_out), _dp(in_shift), _dp(in_scale),
+            out_shift, out_scale, lb, ub)
+        if rc != 0:
+            raise ValueError(f"fc_load_policy failed: {rc}")
+
+    def run_episode(self, x0, refs):
+        """Run T closed-loop steps natively.
+
+        Returns (xs (T,5) measurements, us (T,), latency_ns (T,))."""
+        refs = np.ascontiguousarray(refs, np.float64)
+        x0 = np.ascontiguousarray(x0, np.float64)
+        T = len(refs)
+        xs = np.empty((T, 5))
+        us = np.empty(T)
+        lat = np.empty(T, np.int64)
+        self._lib.fc_run_episode(
+            self._h, _dp(x0), _dp(refs), T, _dp(xs), _dp(us),
+            lat.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+        return xs, us, lat
