@@ -1,0 +1,166 @@
+"""Command-line entry points.
+
+Replaces the reference's four ``python Main.py`` scripts (L8 in SURVEY.md
+section 1) with one CLI:
+
+    python -m forging_control_tpu generate   --n-traj 80 --horizon 25 --noise
+    python -m forging_control_tpu supervised --data data/....npz
+    python -m forging_control_tpu surrogate  --data data/*.npz
+    python -m forging_control_tpu unsupervised --data data/....npz
+    python -m forging_control_tpu sweep      --horizons 5 10 15 20 25
+
+Flags mirror the USER SETTINGS switch set (pipelines/config.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import glob
+import json
+import sys
+
+from .pipelines import config as pcfg
+from .utils.logging import get_logger
+
+log = get_logger()
+
+
+def _flags(args) -> pcfg.Flags:
+    return pcfg.Flags(
+        enable_noise=args.noise,
+        enable_training=not getattr(args, "no_training", False),
+        enable_feasibility=getattr(args, "feasibility", False),
+        silence_solver=True,
+    )
+
+
+def cmd_generate(args):
+    from .pipelines import generate_data
+    cfg = pcfg.GenerateConfig(
+        n_traj=args.n_traj, t_traj=args.t_traj, horizon=args.horizon,
+        flags=_flags(args))
+    telem, results = generate_data.run(
+        cfg, seed=args.seed,
+        exact_reference_streams=not args.random_refs)
+    path = generate_data.dataset_path(args.out, cfg.horizon)
+    generate_data.save(results, path)
+    summ = generate_data.summarize(results)
+    log.info(json.dumps({"dataset": path, **summ}))
+
+
+def cmd_sweep(args):
+    from .pipelines import generate_data
+    for h in args.horizons:
+        cfg = pcfg.GenerateConfig(
+            n_traj=args.n_traj, t_traj=args.t_traj, horizon=h,
+            flags=_flags(args))
+        _, results = generate_data.run(
+            cfg, seed=args.seed,
+            exact_reference_streams=not args.random_refs)
+        path = generate_data.dataset_path(args.out, h)
+        generate_data.save(results, path)
+        log.info(json.dumps(
+            {"dataset": path, **generate_data.summarize(results)}))
+
+
+def cmd_supervised(args):
+    from .pipelines import generate_data, supervised
+    results = generate_data.load(args.data)
+    cfg = pcfg.SupervisedConfig(
+        horizon=args.horizon, epochs=args.epochs, flags=_flags(args))
+    art = supervised.run(results, cfg, seed=args.seed,
+                         closed_loop_eval=not args.no_eval,
+                         out_dir=args.out)
+    log.info(json.dumps({"test": art.test_metrics, "mpc": art.mpc_metrics,
+                         "nn": art.nn_metrics}))
+
+
+def cmd_surrogate(args):
+    from .pipelines import generate_data, surrogate
+    from .utils import checkpoint
+    results_list = [generate_data.load(p)
+                    for pat in args.data for p in sorted(glob.glob(pat))]
+    cfg = pcfg.SurrogateConfig(epochs=args.epochs, flags=_flags(args))
+    art = surrogate.run(results_list, cfg, seed=args.seed,
+                        eval_results=results_list[0])
+    if args.save:
+        checkpoint.save(args.save, {"params": art.params,
+                                    "scaler": art.state_scaler})
+    log.info(json.dumps({"test": art.test_metrics,
+                         "closed_loop": art.closed_loop_metrics}))
+
+
+def cmd_unsupervised(args):
+    from .pipelines import generate_data, surrogate, unsupervised
+    results = generate_data.load(args.data)
+    s_cfg = pcfg.SurrogateConfig(epochs=args.surrogate_epochs,
+                                 flags=_flags(args))
+    s_art = surrogate.run([results], s_cfg, seed=args.seed)
+    cfg = pcfg.UnsupervisedConfig(horizon=args.horizon, epochs=args.epochs,
+                                  flags=_flags(args))
+    art = unsupervised.run(results, s_art.params, s_art.state_scaler, cfg,
+                           seed=args.seed, closed_loop_eval=not args.no_eval)
+    log.info(json.dumps({"test": art.test_metrics, "nn": art.nn_metrics,
+                         "surrogate_drift": art.surrogate_drift}))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="forging_control_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("--seed", type=int, default=0)
+        sp.add_argument("--noise", action="store_true")
+        sp.add_argument("--out", default="data")
+
+    g = sub.add_parser("generate", help="MPC dataset generation")
+    common(g)
+    g.add_argument("--n-traj", type=int, default=80)
+    g.add_argument("--t-traj", type=int, default=300)
+    g.add_argument("--horizon", type=int, default=25)
+    g.add_argument("--random-refs", action="store_true")
+    g.set_defaults(fn=cmd_generate)
+
+    s = sub.add_parser("sweep", help="multi-horizon dataset sweep")
+    common(s)
+    s.add_argument("--horizons", type=int, nargs="+",
+                   default=[5, 10, 15, 20, 25])
+    s.add_argument("--n-traj", type=int, default=80)
+    s.add_argument("--t-traj", type=int, default=300)
+    s.add_argument("--random-refs", action="store_true")
+    s.set_defaults(fn=cmd_sweep)
+
+    sv = sub.add_parser("supervised", help="FNN imitation training + eval")
+    common(sv)
+    sv.add_argument("--data", required=True)
+    sv.add_argument("--horizon", type=int, default=10)
+    sv.add_argument("--epochs", type=int, default=20)
+    sv.add_argument("--feasibility", action="store_true")
+    sv.add_argument("--no-training", action="store_true")
+    sv.add_argument("--no-eval", action="store_true")
+    sv.set_defaults(fn=cmd_supervised)
+
+    sg = sub.add_parser("surrogate", help="LSTM surrogate training")
+    common(sg)
+    sg.add_argument("--data", nargs="+", required=True)
+    sg.add_argument("--epochs", type=int, default=50)
+    sg.add_argument("--save", default=None)
+    sg.set_defaults(fn=cmd_surrogate)
+
+    us = sub.add_parser("unsupervised", help="MPC-loss controller training")
+    common(us)
+    us.add_argument("--data", required=True)
+    us.add_argument("--horizon", type=int, default=10)
+    us.add_argument("--epochs", type=int, default=20)
+    us.add_argument("--surrogate-epochs", type=int, default=10)
+    us.add_argument("--feasibility", action="store_true")
+    us.add_argument("--no-eval", action="store_true")
+    us.set_defaults(fn=cmd_unsupervised)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,137 @@
+"""Trajectory/diagnostic figure builders.
+
+Replaces the reference's generic Plotly subplot builder
+(``Graphics.plot`` + ``TitleBrowserRenderer``, ``Supervised Learning/
+Functions.py:1403-1609``): line/markers/bar/v_line/h_line panel specs,
+per-trajectory paging, and PNG export.  Plotly isn't available in this
+environment, so the same spec renders through matplotlib when installed;
+HTML-interactive output (the reference's browser dashboards + sliders) is
+emitted when plotly is importable.  Both backends are optional — the
+framework never requires a plotting package on the compute path.
+
+Panel spec: a list of dicts
+    {"title": str, "series": [
+        {"y": array, "x": array|None, "label": str,
+         "type": "line"|"markers"|"bar"}, ...],
+     "v_lines": [x, ...], "h_lines": [y, ...]}
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Sequence
+
+
+def _telemetry_panels(telem, traj: int = 0):
+    import numpy as np
+    x = np.asarray(telem.x)[traj]
+    u = np.asarray(telem.u)[traj]
+    ref = np.asarray(telem.ref)[traj]
+    t = np.arange(len(u)) * 1e-3
+    return [
+        {"title": "speed tracking", "series": [
+            {"x": t, "y": ref, "label": "ref", "type": "line"},
+            {"x": t, "y": x[:, 1], "label": "y_dot", "type": "line"}]},
+        {"title": "pressures [Pa]", "series": [
+            {"x": t, "y": x[:, 2], "label": "p1", "type": "line"},
+            {"x": t, "y": x[:, 3], "label": "p2", "type": "line"}],
+         "h_lines": [0.0, 32e6]},
+        {"title": "command", "series": [
+            {"x": t, "y": u, "label": "u", "type": "line"}],
+         "h_lines": [-0.2, 0.2]},
+        {"title": "displacement / spool", "series": [
+            {"x": t, "y": x[:, 0], "label": "y", "type": "line"},
+            {"x": t, "y": x[:, 4], "label": "z", "type": "line"}]},
+    ]
+
+
+def solver_panels(telem, traj: int = 0):
+    """Optimizer-diagnostics page (Generate Data/Main.py:211-262)."""
+    import numpy as np
+    d = telem.diag
+    t = np.arange(np.asarray(d.iters).shape[-1]) * 1e-3
+    def tr(a):
+        return np.asarray(a)[traj]
+    return [
+        {"title": "iterations", "series": [
+            {"x": t, "y": tr(d.iters), "label": "iters", "type": "bar"}]},
+        {"title": "objective", "series": [
+            {"x": t, "y": tr(d.obj), "label": "obj", "type": "line"}]},
+        {"title": "infeasibilities", "series": [
+            {"x": t, "y": tr(d.inf_pr), "label": "inf_pr", "type": "line"},
+            {"x": t, "y": tr(d.inf_du), "label": "inf_du", "type": "line"}]},
+        {"title": "step norm", "series": [
+            {"x": t, "y": tr(d.d_norm), "label": "d_norm", "type": "line"}]},
+    ]
+
+
+def render_matplotlib(panels: Sequence[dict], path: str | None = None,
+                      title: str = ""):
+    """Render a panel spec with matplotlib; returns the Figure."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    n = len(panels)
+    fig, axes = plt.subplots(n, 1, figsize=(10, 2.4 * n), sharex=True)
+    if n == 1:
+        axes = [axes]
+    for ax, p in zip(axes, panels):
+        for s in p.get("series", []):
+            x = s.get("x")
+            if s.get("type") == "bar":
+                ax.bar(x, s["y"], label=s.get("label"), width=(x[1] - x[0])
+                       if x is not None and len(x) > 1 else 0.8)
+            elif s.get("type") == "markers":
+                ax.plot(x, s["y"], ".", label=s.get("label"))
+            else:
+                ax.plot(x, s["y"], label=s.get("label"))
+        for v in p.get("v_lines", []):
+            ax.axvline(v, color="k", ls="--", lw=0.8)
+        for h in p.get("h_lines", []):
+            ax.axhline(h, color="r", ls=":", lw=0.8)
+        ax.set_title(p.get("title", ""), fontsize=9)
+        ax.legend(fontsize=7, loc="upper right")
+    fig.suptitle(title)
+    fig.tight_layout()
+    if path:
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        fig.savefig(path, dpi=120)
+    return fig
+
+
+def plot_closed_loop(telem, traj: int = 0, path: str | None = None):
+    return render_matplotlib(_telemetry_panels(telem, traj), path,
+                             title=f"trajectory {traj}")
+
+
+def plot_solver_diagnostics(telem, traj: int = 0, path: str | None = None):
+    return render_matplotlib(solver_panels(telem, traj), path,
+                             title=f"solver diagnostics, trajectory {traj}")
+
+
+def render_plotly_html(panels: Sequence[dict], path: str, title: str = ""):
+    """Interactive HTML (per-panel) when plotly is available; no-op import
+    guard otherwise (mirrors the reference's browser dashboards)."""
+    try:
+        import plotly.graph_objects as go
+        from plotly.subplots import make_subplots
+    except ImportError as e:  # pragma: no cover - env without plotly
+        raise ImportError("plotly not installed; use render_matplotlib") from e
+
+    fig = make_subplots(rows=len(panels), cols=1, shared_xaxes=True,
+                        subplot_titles=[p.get("title", "") for p in panels])
+    for r, p in enumerate(panels, start=1):
+        for s in p.get("series", []):
+            mode = {"line": "lines", "markers": "markers"}.get(
+                s.get("type", "line"), "lines")
+            if s.get("type") == "bar":
+                fig.add_trace(go.Bar(x=s.get("x"), y=s["y"],
+                                     name=s.get("label")), row=r, col=1)
+            else:
+                fig.add_trace(go.Scatter(x=s.get("x"), y=s["y"], mode=mode,
+                                         name=s.get("label")), row=r, col=1)
+    fig.update_layout(title=title, hovermode="x unified")
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    fig.write_html(path)
+    return fig

@@ -115,9 +115,21 @@ def recover(cfg: FeasibilityConfig, u_nn, x0):
         lam = jnp.maximum(lam - mu * c, 0.0)
         return (u, lam, mu * cfg.mu_factor), None
 
+    # Multi-start: the valve-flow sign flip at z = 0 makes the 2-step
+    # pressure landscape nonconvex in u, so a single GN descent from u_nn
+    # can land in the wrong basin.  Seed from a small branch-free grid
+    # around u_nn and keep the best AL cost (all candidates evaluated in
+    # one fused batch; IPOPT in the reference instead fails and falls back,
+    # Functions.py:988-1009).
+    mu_init = jnp.asarray(cfg.mu0, dtype)
+    seeds = jnp.asarray(u_nn, dtype) + jnp.asarray(
+        [0.0, 0.1, -0.1, 0.2, -0.2, 0.3, 0.4], dtype)
+    seed_costs = jax.vmap(
+        lambda s: 0.5 * jnp.sum(al_residual(s, lam0, mu_init)[0] ** 2))(seeds)
+    u_init = seeds[jnp.argmin(seed_costs)]
+
     (u, lam, mu), _ = jax.lax.scan(
-        al_round, (jnp.asarray(u_nn, dtype), lam0, jnp.asarray(cfg.mu0, dtype)),
-        None, length=cfg.al_iters)
+        al_round, (u_init, lam0, mu_init), None, length=cfg.al_iters)
 
     c = _lookahead_constraints(cfg, x0, u)
     return FeasibilityResult(

@@ -23,6 +23,12 @@ except Exception:
     )
 jax.config.update("jax_enable_x64", True)
 
+# Persistent compilation cache: the golden closed-loop programs are large;
+# caching makes suite reruns compile-free.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_fct")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 import numpy as np
 import pytest
 

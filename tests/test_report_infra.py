@@ -1,0 +1,92 @@
+"""Tests for reporting, plotting, checkpointing, logging, CLI."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from forging_control_tpu.eval import report
+from forging_control_tpu.utils import checkpoint
+from forging_control_tpu.utils.timer import Timer
+
+
+def _tiny_telem():
+    from forging_control_tpu.loop import closed_loop as cl
+    from forging_control_tpu.solver import sqp
+    ctrl = cl.MPCController(sqp.MPCConfig(horizon=5, variant="smooth",
+                                          gn_iters=2, al_iters=1))
+    loop_cfg = cl.LoopConfig(t_steps=6, variant="smooth")
+    refs = jnp.full((2, 6), 0.4)
+    x0 = jnp.tile(cl.default_x0(), (2, 1))
+    _, telem = jax.jit(lambda x, r, k: cl.run_batch(loop_cfg, ctrl, x, r, k))(
+        x0, refs, jax.random.PRNGKey(0))
+    return telem
+
+
+def test_show_tabulate_tsv(tmp_path):
+    d = {"MAE": 0.0452, "RMSE": 0.15, "R2": 0.906}
+    f = str(tmp_path / "Tables/Normal/MPC_results_N_10.csv")
+    text = report.show_tabulate(d, f, echo=False)
+    assert "MAE" in text
+    lines = open(f).read().splitlines()
+    assert lines[0].split("\t") == ["MAE", "RMSE", "R2"]
+    assert float(lines[1].split("\t")[0]) == 0.0452
+
+
+def test_dump_dataframe_roundtrip(tmp_path):
+    telem = _tiny_telem()
+    path = str(tmp_path / "results/MPC_dataframe.txt")
+    report.dump_dataframe(path, telem)
+    rows = report.load_dataframe(path)
+    assert rows.shape == (12, 8)
+    header = open(path).readline().strip().split("\t")
+    assert header == list(report.DATAFRAME_COLUMNS)
+    # per-trajectory time restarts at 0 (reference format)
+    assert rows[0, 0] == 0.0 and rows[6, 0] == 0.0
+    np.testing.assert_allclose(rows[:6, 7], np.asarray(telem.u)[0], atol=1e-6)
+
+
+def test_plots_render(tmp_path):
+    from forging_control_tpu.eval import plots
+    telem = _tiny_telem()
+    p1 = str(tmp_path / "Images/closed_loop.png")
+    p2 = str(tmp_path / "Images/solver.png")
+    plots.plot_closed_loop(telem, 0, p1)
+    plots.plot_solver_diagnostics(telem, 0, p2)
+    assert os.path.getsize(p1) > 1000 and os.path.getsize(p2) > 1000
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from forging_control_tpu.nn import fnn, scalers
+    params, _ = fnn.init(jax.random.PRNGKey(0))
+    sc = scalers.Scaler(jnp.zeros(3), jnp.ones(3) * 2)
+    tree = {"params": params, "scaler": sc}
+    path = str(tmp_path / "ckpt.npz")
+    checkpoint.save(path, tree, meta={"horizon": 10})
+    like = {"params": jax.tree.map(jnp.zeros_like, params),
+            "scaler": scalers.Scaler(jnp.zeros(3), jnp.zeros(3))}
+    loaded = checkpoint.load(path, like)
+    np.testing.assert_allclose(np.array(loaded["params"]["w_in"]),
+                               np.array(params["w_in"]))
+    np.testing.assert_allclose(np.array(loaded["scaler"].scale), 2.0)
+    assert checkpoint.load_meta(path)["horizon"] == 10
+
+
+def test_timer_stats():
+    t = Timer()
+    for _ in range(5):
+        t.tic()
+        t.toc()
+    s = t.stats_ms()
+    assert set(s) == {"Mean_time", "Std_time", "Median_time",
+                      "Percentile_25", "Percentile_75"}
+
+
+def test_cli_generate(tmp_path, capsys):
+    from forging_control_tpu import cli
+    cli.main(["generate", "--n-traj", "2", "--t-traj", "8", "--horizon", "5",
+              "--out", str(tmp_path)])
+    files = os.listdir(tmp_path)
+    assert "forging_mult_traj_process_noise_N_5.npz" in files
