@@ -12,11 +12,14 @@ Prints one JSON line per configuration.
 
 import argparse
 import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 def measure(horizon: int, steps: int, batch: int, preset: str) -> dict:
