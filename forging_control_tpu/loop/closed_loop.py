@@ -89,11 +89,7 @@ class FunctionController:
 
     def step(self, carry, x_meas, ref, u_prev):
         u0 = self.fn(x_meas, ref, u_prev)
-        zero = jnp.zeros((), x_meas.dtype)
-        diag = sqp.Diagnostics(
-            iters=jnp.zeros((), jnp.int32), obj=zero, inf_pr=zero,
-            inf_du=zero, reg=zero, d_norm=zero, mu=zero)
-        return u0, carry, diag
+        return u0, carry, sqp.Diagnostics.zeros(x_meas.dtype)
 
 
 def run_trajectory(loop_cfg: LoopConfig, controller, x0, refs, key,

@@ -79,6 +79,15 @@ def telemetry_to_table(telem) -> dict:
     }
 
 
+def shift_commands(arr: np.ndarray, fill=None) -> np.ndarray:
+    """Shift a command column by one step, filling the first entry
+    (``Data.shift_commands``, Supervised Learning/Functions.py:240-268)."""
+    out = np.empty_like(arr)
+    out[1:] = arr[:-1]
+    out[0] = arr[0] if fill is None else fill
+    return out
+
+
 def batch_iter(arrays, batch_size: int, *, key=None, drop_last=False):
     """Minimal DataLoader: yields tuples of batch slices; shuffles when a
     numpy RandomState-compatible ``key`` (seed int) is given."""

@@ -116,6 +116,13 @@ class Diagnostics(NamedTuple):
     reg: jax.Array
     d_norm: jax.Array
     mu: jax.Array
+    alpha: jax.Array   # last accepted step size (IPOPT alpha_pr analogue)
+
+    @classmethod
+    def zeros(cls, dtype):
+        z = jnp.zeros((), dtype)
+        return cls(iters=jnp.zeros((), jnp.int32), obj=z, inf_pr=z,
+                   inf_du=z, reg=z, d_norm=z, mu=z, alpha=z)
 
 
 def init_state(cfg: MPCConfig, dtype=jnp.float32) -> SolverState:
@@ -202,7 +209,7 @@ def solve(cfg: MPCConfig, x0, ref, u_prev, state: SolverState):
     res_fn = lambda v, lam, mu: _residuals(cfg, x0, ref, u_prev_s, lam, mu, v)
 
     def gn_round(carry, _):
-        v, lam, mu, it_used, reg, d_norm, inf_du = carry
+        v, lam, mu, it_used, reg, d_norm, inf_du, alpha_last = carry
 
         (r, c), = (res_fn(v, lam, mu),)
         J = jax.jacfwd(lambda vv: res_fn(vv, lam, mu)[0])(v)
@@ -229,6 +236,7 @@ def solve(cfg: MPCConfig, x0, ref, u_prev, state: SolverState):
 
         ladder = [(dv0, a) for a in cfg.step_ladder] + [(dv_r1, 1.0), (dv_r2, 1.0)]
         costs, vs, dns = zip(*[try_step(dv, a) for dv, a in ladder])
+        alphas = jnp.asarray([a for _, a in ladder], dtype)
         costs = jnp.stack(costs)
         vs = jnp.stack(vs)
         dns = jnp.stack(dns)
@@ -238,23 +246,23 @@ def solve(cfg: MPCConfig, x0, ref, u_prev, state: SolverState):
 
         v_new = jnp.where(take, vs[best], v)
         d_new = jnp.where(take, dns[best], 0.0)
+        a_new = jnp.where(take, alphas[best], alpha_last)
         it_new = it_used + jnp.where(converged, 0, 1)
-        return (v_new, lam, mu, it_new, reg, d_new, gnorm), None
+        return (v_new, lam, mu, it_new, reg, d_new, gnorm, a_new), None
 
     def al_round(carry, _):
-        v, lam, mu, it_used, reg, d_norm, inf_du = carry
-        carry, _ = jax.lax.scan(gn_round, (v, lam, mu, it_used, reg, d_norm, inf_du),
-                                None, length=cfg.gn_iters)
-        v, lam, mu, it_used, reg, d_norm, inf_du = carry
+        carry, _ = jax.lax.scan(gn_round, carry, None, length=cfg.gn_iters)
+        v, lam, mu, it_used, reg, d_norm, inf_du, alpha_last = carry
         _, c = res_fn(v, lam, mu)
         lam_new = jnp.maximum(lam - mu * c, 0.0)
         mu_new = mu * cfg.mu_factor
-        return (v, lam_new, mu_new, it_used, reg, d_norm, inf_du), None
+        return (v, lam_new, mu_new, it_used, reg, d_norm, inf_du, alpha_last), None
 
     mu0 = jnp.asarray(cfg.mu0, dtype)
     init = (state.v, state.lam, mu0, jnp.zeros((), jnp.int32),
-            jnp.asarray(cfg.lm_reg, dtype), jnp.zeros((), dtype), jnp.zeros((), dtype))
-    (v, lam, mu, iters, reg, d_norm, inf_du), _ = jax.lax.scan(
+            jnp.asarray(cfg.lm_reg, dtype), jnp.zeros((), dtype),
+            jnp.zeros((), dtype), jnp.zeros((), dtype))
+    (v, lam, mu, iters, reg, d_norm, inf_du, alpha), _ = jax.lax.scan(
         al_round, init, None, length=cfg.al_iters)
 
     xs = _rollout(cfg, x0, v)
@@ -267,6 +275,7 @@ def solve(cfg: MPCConfig, x0, ref, u_prev, state: SolverState):
         reg=reg,
         d_norm=d_norm,
         mu=mu,
+        alpha=alpha,
     )
     u0 = v[0] * U_SCALE
     return u0, SolverState(v=v, lam=lam), diag

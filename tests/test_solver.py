@@ -58,7 +58,8 @@ def test_diagnostics_record(parity_solves):
     """Diagnostics mirror the IPOPT stats schema the reference stores
     (Generate Data/Functions.py:366-372)."""
     _, diag, _ = parity_solves
-    for field in ("iters", "obj", "inf_pr", "inf_du", "reg", "d_norm", "mu"):
+    for field in ("iters", "obj", "inf_pr", "inf_du", "reg", "d_norm", "mu",
+                  "alpha"):
         arr = np.array(getattr(diag, field))
         assert arr.shape == (300,)
         assert np.all(np.isfinite(arr))
