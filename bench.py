@@ -54,9 +54,11 @@ def main():
 
     best = float("inf")
     for i in range(reps):
+        # Distinct keys (identical-arg executions can be cache-served) and
+        # forced host transfer (async layers may ack block_until_ready early).
         t0 = time.perf_counter()
         _, telem = run(x0, refs, jax.random.PRNGKey(i + 1))
-        telem.u.block_until_ready()
+        float(telem.u.sum())
         best = min(best, time.perf_counter() - t0)
 
     solves_per_s = (B * T) / best

@@ -62,6 +62,15 @@ def load() -> ctypes.CDLL:
             ctypes.c_void_p, P, P, ctypes.c_int, P, P, I64P]
         lib.fc_rhs.argtypes = [ctypes.c_int, P, D, P]
         lib.fc_rk4.argtypes = [ctypes.c_int, P, D, D, ctypes.c_int]
+        lib.fc_mpc_create.restype = ctypes.c_void_p
+        lib.fc_mpc_create.argtypes = [ctypes.c_int, D, ctypes.c_int,
+                                      ctypes.c_int, ctypes.c_int, D]
+        lib.fc_mpc_destroy.argtypes = [ctypes.c_void_p]
+        lib.fc_mpc_reset.argtypes = [ctypes.c_void_p]
+        lib.fc_mpc_step.restype = D
+        lib.fc_mpc_step.argtypes = [ctypes.c_void_p, P, D, D, P]
+        lib.fc_mpc_run_episode.argtypes = [
+            ctypes.c_void_p, P, P, ctypes.c_int, P, P, I64P]
         _lib = lib
     return _lib
 
@@ -83,6 +92,54 @@ def rk4(x, u, dt=1e-3, substeps=4, variant="smooth") -> np.ndarray:
     x = np.ascontiguousarray(np.array(x, np.float64, copy=True))
     lib.fc_rk4(VARIANTS[variant], _dp(x), float(u), float(dt), int(substeps))
     return x
+
+
+class NativeMPC:
+    """Native single-stream GN-SQP MPC (see src/sqp_solver.h).
+
+    The real-time deployment path: warm-started solves at the 1 ms control
+    period on a CPU — the budget the reference's IPOPT misses 3-15x.
+    """
+
+    def __init__(self, horizon=10, dt=1e-3, substeps=4, gn_iters=5,
+                 al_iters=2, p_max=None):
+        self._lib = load()
+        self._h = self._lib.fc_mpc_create(
+            horizon, dt, substeps, gn_iters, al_iters,
+            -1.0 if p_max is None else float(p_max))
+        if not self._h:
+            raise MemoryError("fc_mpc_create failed")
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            self._lib.fc_mpc_destroy(self._h)
+            self._h = None
+
+    def reset(self):
+        self._lib.fc_mpc_reset(self._h)
+
+    def step(self, x_meas, ref, u_prev):
+        """One warm-started solve; returns (u0, stats dict)."""
+        x = np.ascontiguousarray(x_meas, np.float64)
+        stats = np.zeros(4)
+        u = self._lib.fc_mpc_step(self._h, _dp(x), float(ref),
+                                  float(u_prev), _dp(stats))
+        return u, {"iters": int(stats[0]), "obj": stats[1],
+                   "inf_pr": stats[2], "inf_du": stats[3]}
+
+    def run_episode(self, x0, refs):
+        """Native closed loop (solver + RK4 plant).  Returns
+        (xs (T,5) measurements, us (T,), solve latency ns (T,))."""
+        refs = np.ascontiguousarray(refs, np.float64)
+        x0 = np.ascontiguousarray(x0, np.float64)
+        T = len(refs)
+        xs = np.empty((T, 5))
+        us = np.empty(T)
+        lat = np.empty(T, np.int64)
+        self._lib.fc_mpc_run_episode(
+            self._h, _dp(x0), _dp(refs), T, _dp(xs), _dp(us),
+            lat.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+        return xs, us, lat
 
 
 class RealtimeExecutor:

@@ -17,6 +17,7 @@
 
 #include "fnn.h"
 #include "press_model.h"
+#include "sqp_solver.h"
 
 using forging::FnnPolicy;
 using forging::PressParams;
@@ -122,6 +123,73 @@ void fc_run_episode(void* h, const double x0[5], const double* refs, int T,
     const double u = fc_step(h, refs[t], nullptr, xs_out + 5 * t, &lat);
     us_out[t] = u;
     if (lat_out) lat_out[t] = lat;
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Native MPC (condensed GN-SQP, sqp_solver.h): the single-stream real-time
+// path that meets the 1 ms budget IPOPT missed.
+// ---------------------------------------------------------------------------
+
+void* fc_mpc_create(int horizon, double dt, int substeps, int gn_iters,
+                    int al_iters, double p_max) {
+  forging::SqpConfig cfg;
+  cfg.horizon = horizon;
+  cfg.dt = dt;
+  cfg.substeps = substeps;
+  cfg.gn_iters = gn_iters;
+  cfg.al_iters = al_iters;
+  cfg.p_max = p_max;
+  return new (std::nothrow) forging::SqpSolver(cfg);
+}
+
+void fc_mpc_destroy(void* h) { delete static_cast<forging::SqpSolver*>(h); }
+
+void fc_mpc_reset(void* h) { static_cast<forging::SqpSolver*>(h)->reset(); }
+
+// One warm-started MPC solve; returns u0.  stats_out (optional, len 4):
+// [iters, obj, inf_pr, inf_du].
+double fc_mpc_step(void* h, const double x0[5], double ref, double u_prev,
+                   double* stats_out) {
+  auto* s = static_cast<forging::SqpSolver*>(h);
+  s->shift();
+  forging::SqpDiag d;
+  const double u = s->solve(x0, ref, u_prev, &d);
+  if (stats_out) {
+    stats_out[0] = d.iters;
+    stats_out[1] = d.obj;
+    stats_out[2] = d.inf_pr;
+    stats_out[3] = d.inf_du;
+  }
+  return u;
+}
+
+// Full native MPC closed loop: solver + RK4 plant (smooth variant) for T
+// steps.  xs_out (T,5) measurements, us_out (T,), lat_ns (T,) solve-only
+// latency.
+void fc_mpc_run_episode(void* solver_h, const double x0[5],
+                        const double* refs, int T, double* xs_out,
+                        double* us_out, int64_t* lat_ns) {
+  auto* s = static_cast<forging::SqpSolver*>(solver_h);
+  forging::PressParams P;
+  s->reset();
+  double x[5], xm[5];
+  std::memcpy(x, x0, sizeof(x));
+  forging::measure(P, forging::Variant::kSmooth, x, xm);
+  double u_prev = 0.0;
+  for (int t = 0; t < T; ++t) {
+    const auto t0 = std::chrono::steady_clock::now();
+    s->shift();
+    const double u = s->solve(xm, refs[t], u_prev, nullptr);
+    const auto t1 = std::chrono::steady_clock::now();
+    if (lat_ns)
+      lat_ns[t] = std::chrono::duration_cast<std::chrono::nanoseconds>(
+                      t1 - t0).count();
+    forging::rk4_step(P, forging::Variant::kSmooth, x, u, 1e-3, 4);
+    forging::measure(P, forging::Variant::kSmooth, x, xm);
+    u_prev = u;
+    us_out[t] = u;
+    if (xs_out) std::memcpy(xs_out + 5 * t, xm, sizeof(xm));
   }
 }
 

@@ -39,11 +39,12 @@ def measure(horizon: int, steps: int, batch: int, preset: str) -> dict:
     telem.u.block_until_ready()
     best = float("inf")
     for i in range(3):
-        # Never reuse the warmup key: identical-argument executions can be
-        # served from cache by the execution layer and time as ~0.
+        # Never reuse the warmup key (identical-argument executions can be
+        # served from cache), and time through a forced host transfer so
+        # async execution layers cannot return early.
         t0 = time.perf_counter()
         _, telem = run(x0, refs, jax.random.PRNGKey(i + 1))
-        telem.u.block_until_ready()
+        float(telem.u.sum())
         best = min(best, time.perf_counter() - t0)
     per_step_ms = best / steps * 1e3
     return {

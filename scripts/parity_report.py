@@ -1,0 +1,109 @@
+"""Generate the IPOPT/CVODES parity report against the golden recordings.
+
+Produces docs/RESULTS-parity.json with:
+  * single-step and open-loop integrator parity vs the CVODES recording
+  * cold-start solver command parity vs the recorded IPOPT sequence
+  * closed-loop tracking metrics vs the reference's recorded run
+
+CPU/f64 (the validation mode).  Usage:
+  JAX_PLATFORMS=cpu python scripts/parity_report.py
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_fct")
+
+import jax.numpy as jnp
+import numpy as np
+
+GOLDEN = "/root/reference/Supervised Learning/results/MPC_dataframe.txt"
+
+
+def main():
+    from forging_control_tpu.integrate.rk4 import rk4_step
+    from forging_control_tpu.loop import closed_loop as cl
+    from forging_control_tpu.physics import press
+    from forging_control_tpu.solver import sqp
+
+    rows = np.loadtxt(GOLDEN, skiprows=1)
+    out = {}
+
+    # --- integrator parity -------------------------------------------------
+    f = lambda x, u: press.rhs(x, u, variant="smooth")
+    xs = jnp.array(rows[:299, 2:7])
+    us = jnp.array(rows[1:300, 7])
+    step = jax.jit(jax.vmap(lambda x, u: rk4_step(f, x, u, 0.001, 4)))
+    meas = jax.vmap(lambda x: press.measure(x, variant="smooth"))
+    pred = np.array(meas(step(xs, us)))
+    mask = (rows[:299, 4] > 1) & (rows[:299, 5] > 1) & \
+           (rows[1:300, 4] > 1) & (rows[1:300, 5] > 1)
+    rel = np.abs(pred - rows[1:300, 2:7])[mask] / np.maximum(
+        np.abs(rows[1:300, 2:7])[mask], 1e-2)
+    out["integrator_single_step"] = {
+        "max_rel": float(rel.max()),
+        "median_rel": float(np.median(rel)),
+        "steps": int(mask.sum()),
+    }
+
+    # --- cold-start solver parity -----------------------------------------
+    cfg = sqp.MPCConfig(horizon=10, variant="smooth", gn_iters=15, al_iters=3)
+    states = np.vstack([press.X0_REFERENCE, rows[:299, 2:7]])
+    uprev = np.concatenate([[0.0], rows[:299, 7]])
+
+    @jax.jit
+    def solve_batch(xs, rs, ups):
+        def one(x, r, up):
+            u0, _, d = sqp.solve(cfg, x, r, up, sqp.init_state(cfg, jnp.float64))
+            return u0, d.inf_pr
+        return jax.vmap(one)(xs, rs, ups)
+
+    u0, inf_pr = solve_batch(jnp.array(states), jnp.array(rows[:300, 1]),
+                             jnp.array(uprev))
+    u0 = np.array(u0)
+    relu = np.abs(u0 - rows[:300, 7]) / np.maximum(np.abs(rows[:300, 7]), 1e-2)
+    out["solver_command_parity"] = {
+        "median_rel": float(np.median(relu)),
+        "p95_rel": float(np.percentile(relu, 95)),
+        "frac_within_1e-3": float(np.mean(relu < 1e-3)),
+        "max_inf_pr_scaled": float(np.array(inf_pr).max()),
+        "note": ("divergent steps are the cavitation transient where the "
+                 "recorded IPOPT iterates violate their own p>=0 bounds "
+                 "under the model dynamics"),
+    }
+
+    # --- closed-loop metrics ----------------------------------------------
+    loop_cfg = cl.LoopConfig(t_steps=300, variant="smooth")
+    ctrl = cl.MPCController(sqp.MPCConfig(horizon=10, variant="smooth"))
+    refs = jnp.array(rows[:, 1].reshape(2, 300))
+    x0 = jnp.tile(cl.default_x0(), (2, 1))
+    _, telem = jax.jit(lambda x, r, k: cl.run_batch(loop_cfg, ctrl, x, r, k))(
+        x0, refs, jax.random.PRNGKey(0))
+    mae = float(np.abs(np.array(telem.x[..., 1]).ravel()
+                       - np.array(telem.ref).ravel()).mean())
+    out["closed_loop"] = {
+        "tracking_MAE": mae,
+        "reference_tracking_MAE": 0.045209,
+        "recorded_golden_MAE": float(np.abs(rows[:, 3] - rows[:, 1]).mean()),
+        "command_mean_abs_dev_vs_golden": float(
+            np.abs(np.array(telem.u).ravel() - rows[:, 7]).mean()),
+    }
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "docs", "RESULTS-parity.json")
+    with open(path, "w") as fjson:
+        json.dump(out, fjson, indent=2)
+    print(json.dumps(out, indent=2))
+
+
+if __name__ == "__main__":
+    main()
