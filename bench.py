@@ -34,11 +34,12 @@ def main():
     T = int(os.environ.get("BENCH_STEPS", 300))
     N = int(os.environ.get("BENCH_HORIZON", 10))
     reps = int(os.environ.get("BENCH_REPS", 3))
+    preset = os.environ.get("BENCH_PRESET", "default")
     dtype = jnp.float32
 
     loop_cfg = cl.LoopConfig(t_steps=T, variant="smooth")
-    ctrl = cl.MPCController(
-        sqp.MPCConfig(horizon=N, variant="smooth", gn_iters=6, al_iters=2))
+    make = sqp.MPCConfig.fast if preset == "fast" else sqp.MPCConfig
+    ctrl = cl.MPCController(make(horizon=N, variant="smooth"))
 
     key = jax.random.PRNGKey(0)
     refs = streams.sample_references(key, B, "supervised", t_steps=T,
