@@ -50,13 +50,17 @@ def apply(params, x, width_dim=1):
     return jnp.clip(out, -1.0, 1.0)  # nn.Hardtanh()
 
 
-def make_policy(params, in_scaler, out_scaler, width_dim=1, lb=-0.2, ub=0.2):
+def make_policy(params, in_scaler, out_scaler, width_dim=1, lb=None, ub=None):
     """Closed-loop policy u = g(x_meas, ref, u_prev).
 
     Mirrors ``FeasibilityRecovery.NN_make_step`` (Supervised Learning/
     Functions.py:1014-1068): features [y_dot, z, ref] -> scale -> forward
-    -> inverse-scale -> saturate to the closed-loop command bounds
-    (LB_U/UB_U = ±0.2, Supervised Learning/Main.py:122).
+    -> inverse-scale.  The only saturation is the Hardtanh in scaled units
+    (effective bound ±max|u_train|): the reference declares LB_U/UB_U =
+    ±0.2 (Main.py:122) but never applies them to the NN output — its
+    recorded closed loops command u = -0.254 — and clipping at ±0.2 here
+    costs ~0.05 closed-loop MAE on the deep-reference plateaus.  Pass
+    lb/ub to opt into explicit saturation.
     """
 
     def policy(x_meas, ref, u_prev):
@@ -64,6 +68,8 @@ def make_policy(params, in_scaler, out_scaler, width_dim=1, lb=-0.2, ub=0.2):
         z = in_scaler.transform(feats)
         u_s = apply(params, z[None, :], width_dim)[0, 0]
         u = jnp.squeeze(out_scaler.inverse(u_s))
-        return jnp.clip(u, lb, ub)
+        if lb is not None or ub is not None:
+            u = jnp.clip(u, lb, ub)
+        return u
 
     return policy

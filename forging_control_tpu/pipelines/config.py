@@ -58,8 +58,11 @@ class SupervisedConfig:
     hidden_dim: int = 50
     width_dim: int = 1
     scaler: str = "maxabs"
-    lb_u: float = -0.2
-    ub_u: float = 0.2
+    # Declared closed-loop bounds (Supervised Learning/Main.py:122).  The
+    # reference never applies them to the NN output (see nn/fnn.make_policy);
+    # None reproduces that behavior, set values to opt into hard saturation.
+    lb_u: float | None = None
+    ub_u: float | None = None
     flags: Flags = Flags()
 
 

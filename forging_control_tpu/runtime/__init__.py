@@ -157,8 +157,12 @@ class RealtimeExecutor:
             self._h = None
 
     def load_fnn_policy(self, params, in_scaler, out_scaler, width_dim=1,
-                        lb=-0.2, ub=0.2):
-        """Load JAX FNN params + scalers (nn/fnn.py layout)."""
+                        lb=None, ub=None):
+        """Load JAX FNN params + scalers (nn/fnn.py layout).  lb/ub None
+        means no explicit saturation (hardtanh x out-scale is the only
+        bound, matching the reference — see nn/fnn.make_policy)."""
+        lb = -1e30 if lb is None else lb
+        ub = 1e30 if ub is None else ub
         w_in = np.ascontiguousarray(params["w_in"], np.float64)
         b_in = np.ascontiguousarray(params["b_in"], np.float64)
         w_int = np.ascontiguousarray(params["w_int"], np.float64)

@@ -140,14 +140,20 @@ def recover(cfg: FeasibilityConfig, u_nn, x0):
 
 
 def make_recovering_policy(base_policy, cfg: FeasibilityConfig,
-                           lb=-0.2, ub=0.2):
-    """Wrap a policy with feasibility recovery + saturation, the
+                           lb=None, ub=None):
+    """Wrap a policy with feasibility recovery, the
     ``NN_make_step(..., feasibility_variables)`` composition
-    (Supervised Learning/Functions.py:1014-1068)."""
+    (Supervised Learning/Functions.py:1014-1068).  The reference clips to
+    [-0.2, 0.2] only in its solver-failure fallback
+    (Unsupervised Learning/Functions.py:1537-1549); pass lb/ub to apply
+    saturation unconditionally."""
 
     def policy(x_meas, ref, u_prev):
         u_nn = base_policy(x_meas, ref, u_prev)
         res = recover(cfg, u_nn, x_meas)
-        return jnp.clip(res.u, lb, ub)
+        u = res.u
+        if lb is not None or ub is not None:
+            u = jnp.clip(u, lb, ub)
+        return u
 
     return policy
