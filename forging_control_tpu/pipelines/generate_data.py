@@ -36,8 +36,7 @@ def run(cfg: GenerateConfig = GenerateConfig(), *, seed: int = 0,
     """
     mpc_cfg = sqp.MPCConfig(
         horizon=cfg.horizon,
-        variant="raw" if cfg.variant_model == "raw" else "smooth",
-        gn_iters=6, al_iters=2)
+        variant="raw" if cfg.variant_model == "raw" else "smooth")
     loop_cfg = cl.LoopConfig(
         t_steps=cfg.t_traj, variant=mpc_cfg.variant,
         process_std=cfg.process_std if cfg.flags.enable_noise else (0.0,) * 5,
