@@ -30,7 +30,7 @@ def main():
     from forging_control_tpu.refgen import streams
     from forging_control_tpu.solver import sqp
 
-    B = int(os.environ.get("BENCH_BATCH", 1024))
+    B = int(os.environ.get("BENCH_BATCH", 4096))
     T = int(os.environ.get("BENCH_STEPS", 300))
     N = int(os.environ.get("BENCH_HORIZON", 10))
     reps = int(os.environ.get("BENCH_REPS", 3))
