@@ -23,6 +23,13 @@ import time
 
 def main():
     import jax
+
+    # Persistent compilation cache: the closed-loop program is large and the
+    # remote-attach compile is slow; cache hits make repeat runs start fast.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_fct")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
     import jax.numpy as jnp
     import numpy as np
 

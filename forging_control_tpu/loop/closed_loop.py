@@ -64,16 +64,27 @@ class Controller(Protocol):
 
 @dataclasses.dataclass(frozen=True)
 class MPCController:
-    """SQP MPC with shift warm start — `make_step` equivalent."""
+    """MPC with shift warm start — `make_step` equivalent.
+
+    ``backend`` selects the solver: "sqp" (condensed GN, default) or
+    "ilqr" (Riccati sweep, solver/riccati.py)."""
 
     cfg: sqp.MPCConfig
+    backend: str = "sqp"
+
+    def _mod(self):
+        if self.backend == "ilqr":
+            from ..solver import riccati
+            return riccati
+        return sqp
 
     def init_carry(self, dtype):
-        return sqp.init_state(self.cfg, dtype)
+        return self._mod().init_state(self.cfg, dtype)
 
     def step(self, carry, x_meas, ref, u_prev):
-        u0, new_state, diag = sqp.solve(
-            self.cfg, x_meas, ref, u_prev, sqp.shift_state(carry))
+        mod = self._mod()
+        u0, new_state, diag = mod.solve(
+            self.cfg, x_meas, ref, u_prev, mod.shift_state(carry))
         return u0, new_state, diag
 
 
