@@ -1,0 +1,1 @@
+from . import metrics, report  # noqa: F401

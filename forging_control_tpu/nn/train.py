@@ -85,12 +85,16 @@ def train_unsupervised(controller_params, surrogate_params,
                        x_train, u_train, z_train, x_val, u_val, *,
                        horizon=10, alpha=20.0, width_dim=1, lr=1e-4,
                        weight_decay=1e-2, epochs=20, batch_size=15,
-                       enable_noise=False, seed=0,
+                       enable_noise=False, seed=0, keep_best=True,
                        log_fn: Callable | None = None):
     """MPC-loss trainer: FNN trained through the frozen LSTM surrogate.
 
     Validation uses plain MSE against the recorded MPC commands, exactly
     like the reference (``Unsupervised Learning/Functions.py:868-888``).
+    ``keep_best`` returns the parameters at the best validation epoch —
+    training longer through an imperfect surrogate lets the controller
+    exploit surrogate error (observed: val MAE improves while closed-loop
+    tracking collapses), so the val-vs-recorded-MPC metric is the guard.
     """
     tx = optax.adamw(lr, weight_decay=weight_decay)
     opt_state = tx.init(controller_params)
@@ -115,6 +119,7 @@ def train_unsupervised(controller_params, surrogate_params,
     report = TrainReport()
     key = jax.random.PRNGKey(seed)
     t0 = time.time()
+    best_params, best_val = controller_params, float("inf")
     for epoch in range(epochs):
         losses = []
         for xb, ub, zb in datasets.batch_iter((x_train, u_train, z_train),
@@ -128,9 +133,14 @@ def train_unsupervised(controller_params, surrogate_params,
                             jnp.asarray(u_val)))
         report.train_losses.append(float(np.mean(losses)))
         report.val_losses.append(vl)
+        if vl < best_val:
+            best_val = vl
+            best_params = jax.tree.map(lambda a: a.copy(), controller_params)
         if log_fn:
             log_fn(epoch, report.train_losses[-1], vl)
     report.wall_time_s = time.time() - t0
+    if keep_best:
+        controller_params = best_params
     return controller_params, report
 
 

@@ -1,0 +1,1 @@
+from . import launcher, mesh  # noqa: F401

@@ -1,0 +1,1 @@
+from . import config, generate_data, supervised, surrogate, unsupervised  # noqa: F401

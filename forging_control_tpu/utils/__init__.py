@@ -1,0 +1,1 @@
+from . import checkpoint, profiling, timer  # noqa: F401
