@@ -34,8 +34,8 @@ def build(force: bool = False) -> str:
                 os.path.getmtime(os.path.join(_SRC_DIR, f))
                 for f in os.listdir(_SRC_DIR))):
         subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC", src,
-             "-o", _LIB_PATH],
+            ["g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
+             src, "-o", _LIB_PATH],
             check=True, capture_output=True)
     return _LIB_PATH
 
@@ -71,6 +71,10 @@ def load() -> ctypes.CDLL:
         lib.fc_mpc_step.argtypes = [ctypes.c_void_p, P, D, D, P]
         lib.fc_mpc_run_episode.argtypes = [
             ctypes.c_void_p, P, P, ctypes.c_int, P, P, I64P]
+        lib.fc_mpc_run_batch.restype = ctypes.c_int
+        lib.fc_mpc_run_batch.argtypes = [
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, P, P, ctypes.c_int,
+            ctypes.c_int, P, P, ctypes.c_char_p]
         _lib = lib
     return _lib
 
@@ -140,6 +144,65 @@ class NativeMPC:
             self._h, _dp(x0), _dp(refs), T, _dp(xs), _dp(us),
             lat.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
         return xs, us, lat
+
+
+def mpc_generate_batch(x0, refs, horizon=10, gn_iters=5, al_iters=2,
+                       store_path=None):
+    """OpenMP-parallel native MPC dataset generation (one solver/thread).
+
+    Args:
+      x0: (5,) initial state shared by all trajectories.
+      refs: (n_traj, T) reference streams.
+      store_path: optional trajectory-store file (see TrajStore).
+
+    Returns (xs (n_traj, T, 5) measurements, us (n_traj, T)).
+    """
+    lib = load()
+    refs = np.ascontiguousarray(refs, np.float64)
+    x0 = np.ascontiguousarray(x0, np.float64)
+    n, T = refs.shape
+    xs = np.empty((n, T, 5))
+    us = np.empty((n, T))
+    done = lib.fc_mpc_run_batch(
+        horizon, gn_iters, al_iters, _dp(x0), _dp(refs), n, T, _dp(xs),
+        _dp(us), store_path.encode() if store_path else None)
+    if done != n:
+        raise RuntimeError(f"batch generation failed: {done}/{n}")
+    return xs, us
+
+
+class TrajStore:
+    """Zero-copy reader for the native trajectory store (trajstore.h)."""
+
+    HEADER = 4 + 4 * 4
+    NAMELEN = 16
+
+    def __init__(self, path):
+        self.path = path
+        with open(path, "rb") as f:
+            magic = f.read(4)
+            if magic != b"FCTS":
+                raise ValueError(f"bad magic {magic!r}")
+            import struct
+            ver, n, t, c = struct.unpack("<4I", f.read(16))
+            if ver != 1:
+                raise ValueError(f"unsupported version {ver}")
+            self.n_traj, self.t_steps, self.n_cols = n, t, c
+            self.columns = []
+            for _ in range(c):
+                raw = f.read(self.NAMELEN)
+                self.columns.append(raw.split(b"\0", 1)[0].decode())
+        offset = self.HEADER + self.n_cols * self.NAMELEN
+        self.data = np.memmap(path, dtype=np.float64, mode="r",
+                              offset=offset,
+                              shape=(self.n_traj, self.t_steps, self.n_cols))
+
+    def column(self, name):
+        return self.data[..., self.columns.index(name)]
+
+    def to_results_dict(self):
+        """Reference result-dict schema (Generate Data/Functions.py:381-390)."""
+        return {c: np.asarray(self.column(c)) for c in self.columns}
 
 
 class RealtimeExecutor:

@@ -18,6 +18,11 @@
 #include "fnn.h"
 #include "press_model.h"
 #include "sqp_solver.h"
+#include "trajstore.h"
+
+#ifdef _OPENMP
+#include <omp.h>
+#endif
 
 using forging::FnnPolicy;
 using forging::PressParams;
@@ -191,6 +196,64 @@ void fc_mpc_run_episode(void* solver_h, const double x0[5],
     us_out[t] = u;
     if (xs_out) std::memcpy(xs_out + 5 * t, xm, sizeof(xm));
   }
+}
+
+// Batched native MPC dataset generation: one solver per thread (OpenMP),
+// optional direct streaming into a trajectory store file.  refs is
+// (n_traj, T); us_out (n_traj, T); xs_out (n_traj, T, 5) or null;
+// store_path may be null.  Returns trajectories completed.
+int fc_mpc_run_batch(int horizon, int gn_iters, int al_iters,
+                     const double x0[5], const double* refs, int n_traj,
+                     int T, double* xs_out, double* us_out,
+                     const char* store_path) {
+  forging::SqpConfig scfg;
+  scfg.horizon = horizon;
+  scfg.gn_iters = gn_iters;
+  scfg.al_iters = al_iters;
+
+  std::vector<double> all(store_path ? static_cast<size_t>(n_traj) * T * 8 : 0);
+
+  int done = 0;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic) reduction(+ : done)
+#endif
+  for (int i = 0; i < n_traj; ++i) {
+    forging::SqpSolver solver(scfg);
+    forging::PressParams P;
+    double x[5], xm[5];
+    std::memcpy(x, x0, sizeof(x));
+    forging::measure(P, forging::Variant::kSmooth, x, xm);
+    double u_prev = 0.0;
+    for (int t = 0; t < T; ++t) {
+      const double ref = refs[static_cast<size_t>(i) * T + t];
+      solver.shift();
+      const double u = solver.solve(xm, ref, u_prev, nullptr);
+      forging::rk4_step(P, forging::Variant::kSmooth, x, u, 1e-3, 4);
+      forging::measure(P, forging::Variant::kSmooth, x, xm);
+      u_prev = u;
+      us_out[static_cast<size_t>(i) * T + t] = u;
+      if (xs_out)
+        std::memcpy(xs_out + (static_cast<size_t>(i) * T + t) * 5, xm,
+                    sizeof(xm));
+      if (store_path) {
+        double* row = all.data() + (static_cast<size_t>(i) * T + t) * 8;
+        row[0] = xm[0]; row[1] = xm[1]; row[2] = xm[2]; row[3] = xm[3];
+        row[4] = xm[4]; row[5] = ref; row[6] = u;
+        row[7] = forging::forging_force(P, xm[0], xm[1]);
+      }
+    }
+    done += 1;
+  }
+
+  if (store_path) {
+    forging::TrajStoreWriter w(store_path, n_traj, T,
+                               {"y", "y_dot", "p1", "p2", "z", "ref", "u",
+                                "F_d"});
+    if (!w.ok()) return -1;
+    for (int i = 0; i < n_traj; ++i)
+      if (!w.append(all.data() + static_cast<size_t>(i) * T * 8)) return -1;
+  }
+  return done;
 }
 
 // Pure physics check hooks (for parity tests against the JAX side).

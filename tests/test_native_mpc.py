@@ -67,3 +67,30 @@ def test_horizon_sweep(lib):
         mpc = runtime.NativeMPC(horizon=N)
         xs, us, _ = mpc.run_episode(np.array(press.X0_REFERENCE), refs)
         assert np.all(np.isfinite(xs)) and np.all(np.isfinite(us))
+
+
+def test_native_batch_generation_and_store(lib, tmp_path):
+    """OpenMP batch generation + trajectory-store roundtrip."""
+    from forging_control_tpu.refgen import streams
+    refs = streams.reference_table(3, "supervised")[:, :60]
+    path = str(tmp_path / "data.fcts")
+    xs, us = runtime.mpc_generate_batch(
+        np.array(press.X0_REFERENCE), refs, store_path=path)
+    assert xs.shape == (3, 60, 5) and us.shape == (3, 60)
+    assert np.all(np.isfinite(xs)) and np.all(np.isfinite(us))
+    st = runtime.TrajStore(path)
+    assert st.columns == ["y", "y_dot", "p1", "p2", "z", "ref", "u", "F_d"]
+    np.testing.assert_allclose(np.asarray(st.column("u")), us, atol=1e-12)
+    r = st.to_results_dict()
+    assert set(r) == set(st.columns)
+
+
+def test_native_batch_matches_episode(lib):
+    """The batched path must agree with the single-episode path."""
+    from forging_control_tpu.refgen import streams
+    refs = streams.reference_table(1, "supervised")[:, :50]
+    xs_b, us_b = runtime.mpc_generate_batch(
+        np.array(press.X0_REFERENCE), refs)
+    mpc = runtime.NativeMPC(horizon=10)
+    xs_e, us_e, _ = mpc.run_episode(np.array(press.X0_REFERENCE), refs[0])
+    np.testing.assert_allclose(us_b[0], us_e, atol=1e-10)
