@@ -87,7 +87,10 @@ class PressParams:
 
     # Numerical guards (no reference counterpart; keep tiny so the guarded
     # branch value is unchanged wherever the reference evaluates it).
-    eps_y: float = 1e-12      # clip for y -> 0+ inside the gated Fd branch
+    # Clip for y -> 0+ inside the gated Fd branch.  Must stay resolvable
+    # against H0 in float32: with 1e-12 the f32 strain log(H0/(H0-y)) rounds
+    # to exactly 0 and 0**M2 = inf poisons the (masked) branch with NaN.
+    eps_y: float = 1e-6
     eps_q: float = 1e-2       # |dp| kink-smoothing threshold [Pa] in orifice sqrt
 
     @property
@@ -158,7 +161,9 @@ def forging_force(y, y_dot, params: PressParams = DEFAULT_PARAMS):
     Kd = params.K * (1.0 + params.MU * b1 / (2.0 * y_s) + y_s / (4.0 * b1))
     Ad = w1 * b1
 
-    e = jnp.log(H0 / (H0 - y_s))               # strain; > 0 on the clipped domain
+    # strain; > 0 on the clipped domain (floor keeps 0**M2 = inf out of the
+    # masked branch even if the log rounds to 0 at low precision)
+    e = jnp.maximum(jnp.log(H0 / (H0 - y_s)), 1e-12)
     e_dot = yd_s / (H0 - y_s)                  # strain rate; >= 0
     # e_dot**M3 has an infinite slope at 0; floor it inside the gated branch
     # (the factor exp(M4/e) already drives Fd -> 0 as y -> 0+).

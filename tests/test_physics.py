@@ -132,3 +132,21 @@ def test_scaling_roundtrip():
     x = jnp.array(STATES[1])
     np.testing.assert_allclose(np.array(unscale_x(scale_x(x))), STATES[1], rtol=1e-12)
     assert np.all(np.abs(np.array(scale_x(x))) < 20)  # O(1) in scaled units
+
+
+def test_rhs_float32_nan_free_near_zero_strain():
+    """f32 regression: with y just below/above 0, the gated Fd branch must
+    not produce NaN (eps_y must stay resolvable against H0 in float32 —
+    at eps_y=1e-12 the f32 strain rounds to log(1)=0 and 0**M2 = inf
+    poisons the masked branch)."""
+    for y in (-1.6e-4, -1e-9, 0.0, 1e-9, 1e-7):
+        x = jnp.asarray([y, 0.165, 1.03e7, 2.29e6, 0.0689], jnp.float32)
+        out = press.rhs(x, jnp.float32(0.2), variant="smooth")
+        assert np.all(np.isfinite(np.array(out))), (y, out)
+    # and through a noisy RK4 step like the failing dataset trajectory
+    from forging_control_tpu.integrate.rk4 import rk4_step
+    w = jnp.asarray([-0.1, -0.2, 4e7, 6.3e7, 3.2], jnp.float32)
+    f = lambda xx, uu: press.rhs(xx, uu, variant="smooth")
+    x = jnp.asarray([-1.58e-4, 0.165, 1.03e7, 2.29e6, 0.0689], jnp.float32)
+    xn = rk4_step(f, x, jnp.float32(0.22), 1e-3, 4, disturbance=w)
+    assert np.all(np.isfinite(np.array(xn)))
