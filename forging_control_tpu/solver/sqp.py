@@ -20,8 +20,9 @@ This is the TPU-native replacement for the reference's L0/L2 solver stack
   (Supervised Learning/template_mpc.py:57-64), with multiplier updates
   between fixed-size inner GN rounds.
 * **Fixed iteration structure.**  No data-dependent Python control flow:
-  `lax.fori_loop` with convergence masking, so one XLA program serves the
-  whole vmapped batch and compiles once per (horizon, config).
+  `lax.scan` over a fixed iteration count with convergence masking, so one
+  XLA program serves the whole vmapped batch and compiles once per
+  (horizon, config).
 * **Warm starting** by shifting the previous solution one step
   (:func:`shift_state`), mirroring IPOPT's warm start across
   ``make_step`` calls.
@@ -46,7 +47,7 @@ import jax.numpy as jnp
 from ..integrate.rk4 import rk4_step
 from ..ops.smallchol import chol_solve
 from ..physics import press
-from ..physics.scaling import U_SCALE, X_SCALE
+from ..physics.scaling import U_SCALE
 
 _P_SCALE = 1e7  # pressure scaling inside the NLP (template_mpc.py:34-35)
 
@@ -211,7 +212,7 @@ def solve(cfg: MPCConfig, x0, ref, u_prev, state: SolverState):
     def gn_round(carry, _):
         v, lam, mu, it_used, reg, d_norm, inf_du, alpha_last = carry
 
-        (r, c), = (res_fn(v, lam, mu),)
+        r, _ = res_fn(v, lam, mu)
         J = jax.jacfwd(lambda vv: res_fn(vv, lam, mu)[0])(v)
         g = J.T @ r
         H = J.T @ J
