@@ -112,7 +112,8 @@ class NativeMPC:
             horizon, dt, substeps, gn_iters, al_iters,
             -1.0 if p_max is None else float(p_max))
         if not self._h:
-            raise MemoryError("fc_mpc_create failed")
+            raise ValueError(
+                f"fc_mpc_create failed (horizon must be 1..25, got {horizon})")
 
     def __del__(self):
         if getattr(self, "_h", None):

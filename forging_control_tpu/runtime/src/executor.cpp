@@ -138,6 +138,7 @@ void fc_run_episode(void* h, const double x0[5], const double* refs, int T,
 
 void* fc_mpc_create(int horizon, double dt, int substeps, int gn_iters,
                     int al_iters, double p_max) {
+  if (horizon < 1 || horizon > forging::kMaxN) return nullptr;
   forging::SqpConfig cfg;
   cfg.horizon = horizon;
   cfg.dt = dt;
@@ -206,6 +207,7 @@ int fc_mpc_run_batch(int horizon, int gn_iters, int al_iters,
                      const double x0[5], const double* refs, int n_traj,
                      int T, double* xs_out, double* us_out,
                      const char* store_path) {
+  if (horizon < 1 || horizon > forging::kMaxN) return 0;
   forging::SqpConfig scfg;
   scfg.horizon = horizon;
   scfg.gn_iters = gn_iters;

@@ -75,6 +75,115 @@ inline double sign_of(double x) { return x >= 0 ? 1.0 : -1.0; }
 inline double value_of(double x) { return x; }
 inline double value_of(Dual x) { return x.v; }
 
+// Multi-tangent forward-mode duals: ONE rollout carries all NT Jacobian
+// columns.  Transcendentals (sqrt/exp/log/pow) are evaluated once on the
+// value and chain-ruled onto the tangent array; the per-tangent loops are
+// trivially SIMD-vectorized by -O3 -march=native.  This replaces the N
+// single-tangent rollouts per GN iteration (N x fewer transcendental
+// evaluations — the dominant cost of the N=25 solve).
+template <int NT>
+struct DualN {
+  double v;
+  double d[NT];
+  DualN() : v(0) { for (int i = 0; i < NT; ++i) d[i] = 0; }
+  explicit DualN(double v_) : v(v_) { for (int i = 0; i < NT; ++i) d[i] = 0; }
+};
+template <int NT>
+inline DualN<NT> operator+(const DualN<NT>& a, const DualN<NT>& b) {
+  DualN<NT> r; r.v = a.v + b.v;
+  for (int i = 0; i < NT; ++i) r.d[i] = a.d[i] + b.d[i];
+  return r;
+}
+template <int NT>
+inline DualN<NT> operator-(const DualN<NT>& a, const DualN<NT>& b) {
+  DualN<NT> r; r.v = a.v - b.v;
+  for (int i = 0; i < NT; ++i) r.d[i] = a.d[i] - b.d[i];
+  return r;
+}
+template <int NT>
+inline DualN<NT> operator*(const DualN<NT>& a, const DualN<NT>& b) {
+  DualN<NT> r; r.v = a.v * b.v;
+  for (int i = 0; i < NT; ++i) r.d[i] = a.d[i] * b.v + a.v * b.d[i];
+  return r;
+}
+template <int NT>
+inline DualN<NT> operator/(const DualN<NT>& a, const DualN<NT>& b) {
+  DualN<NT> r; const double inv = 1.0 / b.v; r.v = a.v * inv;
+  for (int i = 0; i < NT; ++i) r.d[i] = (a.d[i] - r.v * b.d[i]) * inv;
+  return r;
+}
+template <int NT>
+inline DualN<NT> operator+(const DualN<NT>& a, double b) {
+  DualN<NT> r = a; r.v += b; return r;
+}
+template <int NT>
+inline DualN<NT> operator+(double a, const DualN<NT>& b) { return b + a; }
+template <int NT>
+inline DualN<NT> operator-(const DualN<NT>& a, double b) {
+  DualN<NT> r = a; r.v -= b; return r;
+}
+template <int NT>
+inline DualN<NT> operator-(double a, const DualN<NT>& b) {
+  DualN<NT> r; r.v = a - b.v;
+  for (int i = 0; i < NT; ++i) r.d[i] = -b.d[i];
+  return r;
+}
+template <int NT>
+inline DualN<NT> operator*(const DualN<NT>& a, double b) {
+  DualN<NT> r; r.v = a.v * b;
+  for (int i = 0; i < NT; ++i) r.d[i] = a.d[i] * b;
+  return r;
+}
+template <int NT>
+inline DualN<NT> operator*(double a, const DualN<NT>& b) { return b * a; }
+template <int NT>
+inline DualN<NT> operator/(const DualN<NT>& a, double b) {
+  return a * (1.0 / b);
+}
+template <int NT>
+inline DualN<NT> operator/(double a, const DualN<NT>& b) {
+  DualN<NT> r; const double inv = 1.0 / b.v; r.v = a * inv;
+  const double c = -r.v * inv;
+  for (int i = 0; i < NT; ++i) r.d[i] = c * b.d[i];
+  return r;
+}
+template <int NT>
+inline DualN<NT> operator-(const DualN<NT>& a) {
+  DualN<NT> r; r.v = -a.v;
+  for (int i = 0; i < NT; ++i) r.d[i] = -a.d[i];
+  return r;
+}
+template <int NT>
+inline DualN<NT> sqrt(const DualN<NT>& a) {
+  DualN<NT> r; const double s = std::sqrt(a.v); r.v = s;
+  const double c = s > 0 ? 0.5 / s : 0.0;
+  for (int i = 0; i < NT; ++i) r.d[i] = c * a.d[i];
+  return r;
+}
+template <int NT>
+inline DualN<NT> exp(const DualN<NT>& a) {
+  DualN<NT> r; const double e = std::exp(a.v); r.v = e;
+  for (int i = 0; i < NT; ++i) r.d[i] = e * a.d[i];
+  return r;
+}
+template <int NT>
+inline DualN<NT> log(const DualN<NT>& a) {
+  DualN<NT> r; r.v = std::log(a.v); const double inv = 1.0 / a.v;
+  for (int i = 0; i < NT; ++i) r.d[i] = inv * a.d[i];
+  return r;
+}
+template <int NT>
+inline DualN<NT> pow(const DualN<NT>& a, double p) {
+  DualN<NT> r; const double f = std::pow(a.v, p); r.v = f;
+  const double c = a.v > 0 ? p * f / a.v : 0.0;
+  for (int i = 0; i < NT; ++i) r.d[i] = c * a.d[i];
+  return r;
+}
+template <int NT>
+inline DualN<NT> fabs_s(const DualN<NT>& a) { return a.v >= 0 ? a : -a; }
+template <int NT>
+inline double value_of(const DualN<NT>& x) { return x.v; }
+
 // Smooth-variant RHS templated on scalar type (mirrors press_model.h rhs
 // with Variant::kSmooth; templated so Dual tangents flow through).
 template <typename S>
@@ -199,6 +308,24 @@ class SqpSolver {
   void residuals(const double x0[5], double ref, double u_prev_s,
                  const S* v, double mu, S* r) const;
 
+  // Residuals + Jacobian in ONE multi-tangent rollout (NT >= horizon).
+  template <int NT>
+  void jac_pass(const double x0[5], double ref, double u_prev_s, double mu,
+                double* r, double J[][kMaxN]) const {
+    const int N = cfg_.horizon, M = n_res();
+    DualN<NT> vd[kMaxN];
+    DualN<NT> rd[6 * kMaxN];
+    for (int k = 0; k < N; ++k) {
+      vd[k] = DualN<NT>(v_[k]);
+      vd[k].d[k] = 1.0;
+    }
+    residuals(x0, ref, u_prev_s, vd, mu, rd);
+    for (int i = 0; i < M; ++i) {
+      r[i] = rd[i].v;
+      for (int j = 0; j < N; ++j) J[i][j] = rd[i].d[j];
+    }
+  }
+
   SqpConfig cfg_;
   int n_con_;
   double v_[kMaxN];
@@ -250,23 +377,21 @@ inline double SqpSolver::solve(const double x0[5], double ref, double u_prev,
   double mu = cfg_.mu0;
 
   double r[2 * kMaxN + 4 * kMaxN];
-  Dual rd[2 * kMaxN + 4 * kMaxN];
   double J[2 * kMaxN + 4 * kMaxN][kMaxN];  // M x N
   double H[kMaxN][kMaxN], g[kMaxN], L[kMaxN][kMaxN], yv[kMaxN], dv[kMaxN];
-  Dual vd[kMaxN];
 
   int iters = 0;
   double inf_du = 0;
 
   for (int ar = 0; ar < cfg_.al_iters; ++ar) {
     for (int it = 0; it < cfg_.gn_iters; ++it) {
-      // residuals + Jacobian via N dual-number rollouts
-      for (int j = 0; j < N; ++j) {
-        for (int k = 0; k < N; ++k) vd[k] = Dual(v_[k], k == j ? 1.0 : 0.0);
-        residuals(x0, ref, u_prev_s, vd, mu, rd);
-        for (int i = 0; i < M; ++i) J[i][j] = rd[i].d;
-      }
-      for (int i = 0; i < M; ++i) r[i] = rd[i].v;
+      // residuals + Jacobian via ONE multi-tangent rollout, dispatched to
+      // the smallest compiled tangent width covering the horizon.
+      if (N <= 5)       jac_pass<5>(x0, ref, u_prev_s, mu, r, J);
+      else if (N <= 10) jac_pass<10>(x0, ref, u_prev_s, mu, r, J);
+      else if (N <= 15) jac_pass<15>(x0, ref, u_prev_s, mu, r, J);
+      else if (N <= 20) jac_pass<20>(x0, ref, u_prev_s, mu, r, J);
+      else              jac_pass<kMaxN>(x0, ref, u_prev_s, mu, r, J);
 
       double cost0 = 0;
       for (int i = 0; i < M; ++i) cost0 += 0.5 * r[i] * r[i];

@@ -212,35 +212,37 @@ def solve(cfg: MPCConfig, x0, ref, u_prev, state: SolverState):
     def gn_round(carry, _):
         v, lam, mu, it_used, reg, d_norm, inf_du, alpha_last = carry
 
-        r, _ = res_fn(v, lam, mu)
-        J = jax.jacfwd(lambda vv: res_fn(vv, lam, mu)[0])(v)
-        g = J.T @ r
-        H = J.T @ J
+        # One linearized rollout gives the primal residual for free with
+        # the Jacobian transpose (rows = J @ e_i).
+        r, jvp = jax.linearize(lambda vv: res_fn(vv, lam, mu)[0], v)
+        Jt = jax.vmap(jvp)(jnp.eye(cfg.horizon, dtype=dtype))  # (N, n_res)
+        g = Jt @ r
+        H = Jt @ Jt.T
 
         cost0 = 0.5 * jnp.dot(r, r)
         gnorm = jnp.max(jnp.abs(g))
         converged = gnorm < cfg.tol_grad
 
-        # Candidate steps: one Cholesky solve per distinct damping level
-        # (batched small-SPD kernel, ops/smallchol.py), then a step-size
-        # ladder reusing the base direction — 3 solves + len(ladder)+2
-        # rollouts per iteration instead of 6 solves + 6 rollouts.
+        # Candidate steps: the three damping levels are ONE batched (3,N,N)
+        # Cholesky solve (the unrolled kernel in ops/smallchol.py is
+        # elementwise over leading axes, so the damping axis rides the same
+        # lanes as the scenario batch), and the whole candidate ladder is
+        # ONE vmapped rollout — per-iteration op count stays flat as the
+        # ladder grows.
         eye = jnp.eye(cfg.horizon, dtype=dtype)
-        dv0 = -chol_solve(H + cfg.lm_reg * eye, g)
-        dv_r1 = -chol_solve(H + (cfg.lm_reg + 1e-2) * eye, g)
-        dv_r2 = -chol_solve(H + (cfg.lm_reg + 1.0) * eye, g)
+        regs = jnp.asarray([cfg.lm_reg, cfg.lm_reg + 1e-2, cfg.lm_reg + 1.0],
+                           dtype)
+        Hs = H[None, :, :] + regs[:, None, None] * eye[None, :, :]
+        dvs = -chol_solve(Hs, jnp.broadcast_to(g, (3, cfg.horizon)))
 
-        def try_step(dv, alpha):
-            v_try = v + alpha * dv
-            r_try, _ = res_fn(v_try, lam, mu)
-            return 0.5 * jnp.dot(r_try, r_try), v_try, jnp.linalg.norm(alpha * dv)
-
-        ladder = [(dv0, a) for a in cfg.step_ladder] + [(dv_r1, 1.0), (dv_r2, 1.0)]
-        costs, vs, dns = zip(*[try_step(dv, a) for dv, a in ladder])
-        alphas = jnp.asarray([a for _, a in ladder], dtype)
-        costs = jnp.stack(costs)
-        vs = jnp.stack(vs)
-        dns = jnp.stack(dns)
+        alphas = jnp.asarray(list(cfg.step_ladder) + [1.0, 1.0], dtype)
+        dirs = jnp.concatenate(
+            [jnp.broadcast_to(dvs[0], (len(cfg.step_ladder), cfg.horizon)),
+             dvs[1:]], axis=0)
+        vs = v[None, :] + alphas[:, None] * dirs
+        r_try = jax.vmap(lambda vt: res_fn(vt, lam, mu)[0])(vs)
+        costs = 0.5 * jnp.sum(r_try * r_try, axis=-1)
+        dns = jnp.linalg.norm(alphas[:, None] * dirs, axis=-1)
         best = jnp.argmin(costs)
         improved = costs[best] < cost0
         take = jnp.logical_and(improved, jnp.logical_not(converged))
