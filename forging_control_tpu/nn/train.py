@@ -32,6 +32,7 @@ from . import datasets, fnn, mpc_loss
 class TrainReport:
     train_losses: list = field(default_factory=list)
     val_losses: list = field(default_factory=list)
+    cl_val_losses: list = field(default_factory=list)  # closed-loop val MAE
     wall_time_s: float = 0.0
 
 
@@ -85,7 +86,9 @@ def train_unsupervised(controller_params, surrogate_params,
                        x_train, u_train, z_train, x_val, u_val, *,
                        horizon=10, alpha=20.0, width_dim=1, lr=1e-4,
                        weight_decay=1e-2, epochs=20, batch_size=15,
-                       enable_noise=False, seed=0, keep_best=True,
+                       enable_noise=False, noise_sigma=0.01, seed=0,
+                       keep_best=True,
+                       closed_loop_val_fn: Callable | None = None,
                        log_fn: Callable | None = None):
     """MPC-loss trainer: FNN trained through the frozen LSTM surrogate.
 
@@ -95,6 +98,13 @@ def train_unsupervised(controller_params, surrogate_params,
     training longer through an imperfect surrogate lets the controller
     exploit surrogate error (observed: val MAE improves while closed-loop
     tracking collapses), so the val-vs-recorded-MPC metric is the guard.
+
+    ``closed_loop_val_fn(params) -> scalar`` optionally replaces that
+    selection metric with a *true-plant* closed-loop tracking MAE — the
+    guard the reference could not afford (its plant rollout costs minutes
+    per candidate through CVODES; ours is one jitted batched scan costing
+    milliseconds).  When provided, best-epoch selection uses it and the
+    per-epoch values are recorded in ``TrainReport.cl_val_losses``.
     """
     tx = optax.adamw(lr, weight_decay=weight_decay)
     opt_state = tx.init(controller_params)
@@ -106,7 +116,8 @@ def train_unsupervised(controller_params, surrogate_params,
             l, _ = mpc_loss.mpc_loss(
                 p, surrogate_params, xb, u_ctrl, zb,
                 horizon=horizon, alpha=alpha, width_dim=width_dim,
-                noise_key=key if enable_noise else None)
+                noise_key=key if enable_noise else None,
+                noise_std=noise_sigma)
             return l
         l, grads = jax.value_and_grad(loss)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
@@ -133,11 +144,15 @@ def train_unsupervised(controller_params, surrogate_params,
                             jnp.asarray(u_val)))
         report.train_losses.append(float(np.mean(losses)))
         report.val_losses.append(vl)
-        if vl < best_val:
-            best_val = vl
+        select = vl
+        if closed_loop_val_fn is not None:
+            select = float(closed_loop_val_fn(controller_params))
+            report.cl_val_losses.append(select)
+        if select < best_val:
+            best_val = select
             best_params = jax.tree.map(lambda a: a.copy(), controller_params)
         if log_fn:
-            log_fn(epoch, report.train_losses[-1], vl)
+            log_fn(epoch, report.train_losses[-1], select)
     report.wall_time_s = time.time() - t0
     if keep_best:
         controller_params = best_params

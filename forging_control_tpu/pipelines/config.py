@@ -90,6 +90,12 @@ class UnsupervisedConfig:
     lr: float = 1e-4
     epochs: int = 20
     total_batch_size: int = 150       # BATCH_SIZE = 150 // N (Main.py:282-309)
+    # Select the best epoch by true-plant closed-loop tracking MAE instead
+    # of MSE-vs-recorded-MPC.  No reference counterpart (their plant
+    # rollout costs minutes per candidate; ours costs milliseconds) —
+    # guards against the controller exploiting surrogate error.
+    closed_loop_val: bool = True
+    closed_loop_val_traj: int = 8
     flags: Flags = Flags()
 
     @property

@@ -77,6 +77,33 @@ def prepare_data(results: dict, state_scaler, cfg: UnsupervisedConfig,
     return triples(tr), triples(va), triples(te), in_sc, u_sc
 
 
+def make_closed_loop_val(in_sc, u_sc, *, n_traj: int = 8, t_traj: int = 300,
+                         dtype=jnp.float32, seed: int = 0,
+                         variant: str = "smooth"):
+    """Jitted true-plant validation rollout: params -> tracking MAE.
+
+    Rolls the candidate controller in closed loop against the RK4 plant on
+    counter-based validation reference streams (distinct from the
+    CPython-exact evaluation streams, so model selection never sees the
+    test references).  One batched scan — milliseconds per call — which is
+    what makes closed-loop model selection affordable here when it was not
+    for the reference (CVODES rollouts cost minutes per candidate)."""
+    loop_cfg = cl.LoopConfig(t_steps=t_traj, variant=variant)
+    refs = streams.sample_references(
+        jax.random.PRNGKey(seed + 9000), n_traj, "unsupervised", t_traj,
+        dtype=dtype)
+    x0 = jnp.tile(jnp.asarray(cl.press.X0_REFERENCE, dtype), (n_traj, 1))
+    key = jax.random.PRNGKey(seed + 9001)
+
+    @jax.jit
+    def val(params):
+        ctrl = cl.FunctionController(fnn.make_policy(params, in_sc, u_sc))
+        _, telem = cl.run_batch(loop_cfg, ctrl, x0, refs, key)
+        return metrics.mae(telem.ref, telem.x[..., 1])
+
+    return val
+
+
 def run(results: dict, surrogate_params, state_scaler,
         cfg: UnsupervisedConfig = UnsupervisedConfig(), *, seed: int = 0,
         closed_loop_eval: bool = True, dtype=jnp.float32,
@@ -86,11 +113,17 @@ def run(results: dict, surrogate_params, state_scaler,
 
     params, _ = fnn.init(jax.random.PRNGKey(seed), dtype=dtype)
     if cfg.flags.enable_training:
+        cl_val_fn = None
+        if cfg.closed_loop_val:
+            cl_val_fn = make_closed_loop_val(
+                in_sc, u_sc, n_traj=cfg.closed_loop_val_traj,
+                t_traj=t_traj, dtype=dtype, seed=seed)
         params, rep = train.train_unsupervised(
             params, surrogate_params, xtr, utr, ztr, xva, uva,
             horizon=cfg.horizon, alpha=cfg.alpha, lr=cfg.lr,
             epochs=cfg.epochs, batch_size=max(cfg.batch_size, 1),
-            enable_noise=cfg.flags.enable_noise, seed=seed)
+            enable_noise=cfg.flags.enable_noise, seed=seed,
+            closed_loop_val_fn=cl_val_fn)
     else:
         rep = train.TrainReport()
 

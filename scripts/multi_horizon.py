@@ -56,12 +56,26 @@ def main():
                           **generate_data.summarize(results)}), flush=True)
 
     # Surrogate on ALL horizons (the reference's 5-file concat).
+    # Checkpointed: reruns (e.g. controller-selection experiments) reuse it.
+    from forging_control_tpu.utils import checkpoint as ckpt
+
     scfg = config.SurrogateConfig(epochs=50, flags=flags)
-    s_art = surrogate.run(list(results_by_h.values()), scfg, seed=0,
-                          eval_results=results_by_h[args.horizons[0]])
-    print(json.dumps({"stage": "surrogate_all", "test": s_art.test_metrics,
-                      "closed_loop": s_art.closed_loop_metrics},
-                     default=float), flush=True)
+    suffix = "_noise" if args.noise else ""
+    ckpt_path = os.path.join(args.out, f"surrogate_all{suffix}.npz")
+    if os.path.exists(ckpt_path):
+        s_art = surrogate.run(list(results_by_h.values()),
+                              config.SurrogateConfig(epochs=0, flags=flags),
+                              seed=0)
+        s_art.params = ckpt.load(ckpt_path, s_art.params)
+        print(json.dumps({"stage": "surrogate_load", "path": ckpt_path}),
+              flush=True)
+    else:
+        s_art = surrogate.run(list(results_by_h.values()), scfg, seed=0,
+                              eval_results=results_by_h[args.horizons[0]])
+        ckpt.save(ckpt_path, s_art.params)
+        print(json.dumps({"stage": "surrogate_all", "test": s_art.test_metrics,
+                          "closed_loop": s_art.closed_loop_metrics},
+                         default=float), flush=True)
 
     # MPC-loss controller on the N=10 dataset against the full-data surrogate.
     ucfg = config.UnsupervisedConfig(horizon=10, epochs=20, flags=flags)

@@ -72,6 +72,9 @@ def test_unsupervised_pipeline(small_dataset):
     assert np.isfinite(art.test_metrics["MAE"])
     assert art.nn_metrics is not None and np.isfinite(art.nn_metrics["MAE"])
     assert art.surrogate_drift is not None
+    # closed-loop model selection ran: one true-plant val MAE per epoch
+    assert len(art.train_report.cl_val_losses) == u_cfg.epochs
+    assert all(np.isfinite(v) for v in art.train_report.cl_val_losses)
 
 
 def test_flags_disable_training(small_dataset):
