@@ -35,6 +35,20 @@ def _flags(args) -> pcfg.Flags:
     )
 
 
+def _emit_dashboards(telem, out_dir: str, tag: str):
+    """Interactive HTML dashboards (reference's Plotly pages with the
+    per-trajectory slider; Generate Data/Main.py:120-262)."""
+    import os
+
+    from .eval import html_dash
+    p1 = os.path.join(out_dir, "Images", f"{tag}_closed_loop.html")
+    p2 = os.path.join(out_dir, "Images", f"{tag}_solver.html")
+    html_dash.dashboard_from_telemetry(telem, p1, title=f"{tag} closed loop")
+    html_dash.solver_dashboard_from_telemetry(telem, p2,
+                                              title=f"{tag} solver")
+    log.info(json.dumps({"dashboards": [p1, p2]}))
+
+
 def cmd_generate(args):
     from .pipelines import generate_data
     cfg = pcfg.GenerateConfig(
@@ -47,6 +61,8 @@ def cmd_generate(args):
     generate_data.save(results, path)
     summ = generate_data.summarize(results)
     log.info(json.dumps({"dataset": path, **summ}))
+    if args.plots:
+        _emit_dashboards(telem, args.out, f"MPC_N_{cfg.horizon}")
 
 
 def cmd_sweep(args):
@@ -74,6 +90,9 @@ def cmd_supervised(args):
                          out_dir=args.out)
     log.info(json.dumps({"test": art.test_metrics, "mpc": art.mpc_metrics,
                          "nn": art.nn_metrics}))
+    if args.plots and art.nn_telem is not None:
+        _emit_dashboards(art.nn_telem, args.out, "NN_supervised")
+        _emit_dashboards(art.mpc_telem, args.out, "MPC_baseline")
 
 
 def cmd_surrogate(args):
@@ -98,11 +117,14 @@ def cmd_unsupervised(args):
                                  flags=_flags(args))
     s_art = surrogate.run([results], s_cfg, seed=args.seed)
     cfg = pcfg.UnsupervisedConfig(horizon=args.horizon, epochs=args.epochs,
+                                  train_mode=args.train_mode,
                                   flags=_flags(args))
     art = unsupervised.run(results, s_art.params, s_art.state_scaler, cfg,
                            seed=args.seed, closed_loop_eval=not args.no_eval)
     log.info(json.dumps({"test": art.test_metrics, "nn": art.nn_metrics,
                          "surrogate_drift": art.surrogate_drift}))
+    if args.plots and art.nn_telem is not None:
+        _emit_dashboards(art.nn_telem, args.out, "NN_unsupervised")
 
 
 def main(argv=None):
@@ -113,6 +135,9 @@ def main(argv=None):
         sp.add_argument("--seed", type=int, default=0)
         sp.add_argument("--noise", action="store_true")
         sp.add_argument("--out", default="data")
+        sp.add_argument("--plots", action="store_true",
+                        help="write interactive HTML dashboards to "
+                             "<out>/Images/ (show_plots equivalent)")
 
     g = sub.add_parser("generate", help="MPC dataset generation")
     common(g)
@@ -154,6 +179,11 @@ def main(argv=None):
     us.add_argument("--horizon", type=int, default=10)
     us.add_argument("--epochs", type=int, default=20)
     us.add_argument("--surrogate-epochs", type=int, default=10)
+    us.add_argument("--train-mode", choices=["surrogate", "plant"],
+                    default="surrogate",
+                    help="surrogate: reference protocol (MPC-loss through "
+                         "the frozen LSTM); plant: analytic policy "
+                         "gradients through the true differentiable plant")
     us.add_argument("--feasibility", action="store_true")
     us.add_argument("--no-eval", action="store_true")
     us.set_defaults(fn=cmd_unsupervised)

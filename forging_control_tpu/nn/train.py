@@ -159,6 +159,91 @@ def train_unsupervised(controller_params, surrogate_params,
     return controller_params, report
 
 
+def train_plant_in_loop(params, in_scaler, u_scaler, *, width_dim=1,
+                        t_steps=300, n_traj=32, steps=300, lr=1e-3,
+                        weight_decay=1e-2, rterm=0.02, pressure_weight=1.0,
+                        ref_variant="unsupervised", variant="smooth",
+                        process_std=(0.0,) * 5, clip_norm=1.0, seed=0,
+                        val_every=10, keep_best=True,
+                        closed_loop_val_fn: Callable | None = None,
+                        log_fn: Callable | None = None):
+    """Analytic-policy-gradient trainer: FNN trained through the TRUE plant.
+
+    The reference trains the controller through a learned LSTM surrogate
+    because its plant lives behind CasADi/CVODES process boundaries that
+    torch cannot differentiate (``Unsupervised Learning/Main.py:326-348``).
+    Here the plant is the same pure-JAX RK4 rollout the closed loop runs,
+    so the controller can be trained by direct backpropagation through
+    full episodes of the true dynamics — no surrogate-model bias to
+    exploit.  The objective mirrors the MPC's own (template_mpc.py:44-50):
+
+        mean_t (y_dot_t - ref_t)^2 + rterm * mean_t (du_t / U_SCALE)^2
+        + pressure_weight * mean_t relu-barrier(p / P_SCALE)
+
+    Each step draws a fresh batch of counter-based reference streams, so
+    the policy never overfits a fixed dataset.  ``closed_loop_val_fn``
+    (params -> tracking MAE on held-out streams) selects the returned
+    parameters every ``val_every`` steps.
+    """
+    from ..loop import closed_loop as cl
+    from ..physics.scaling import U_SCALE
+    from ..refgen import streams as ref_streams
+    from . import fnn as fnn_mod
+
+    dtype = jnp.result_type(*jax.tree.leaves(params))
+    loop_cfg = cl.LoopConfig(t_steps=t_steps, variant=variant,
+                             process_std=process_std)
+    x0 = jnp.tile(jnp.asarray(cl.press.X0_REFERENCE, dtype), (n_traj, 1))
+
+    tx = optax.chain(optax.clip_by_global_norm(clip_norm),
+                     optax.adamw(lr, weight_decay=weight_decay))
+    opt_state = tx.init(params)
+
+    def episode_cost(p, refs, key):
+        ctrl = cl.FunctionController(
+            fnn_mod.make_policy(p, in_scaler, u_scaler, width_dim))
+        _, telem = cl.run_batch(loop_cfg, ctrl, x0, refs, key)
+        track = jnp.mean(jnp.square(telem.x[..., 1] - telem.ref))
+        du = jnp.diff(telem.u, axis=-1, prepend=jnp.zeros_like(telem.u[:, :1]))
+        smooth = rterm * jnp.mean(jnp.square(du / U_SCALE))
+        p_scaled = telem.x[..., 2:4] / 1e7
+        barrier = pressure_weight * jnp.mean(
+            jax.nn.relu(-p_scaled) + jax.nn.relu(p_scaled - 3.2))
+        return track + smooth + barrier
+
+    @jax.jit
+    def update(p, opt_state, refs, key):
+        l, grads = jax.value_and_grad(episode_cost)(p, refs, key)
+        updates, opt_state = tx.update(grads, opt_state, p)
+        return optax.apply_updates(p, updates), opt_state, l
+
+    report = TrainReport()
+    key = jax.random.PRNGKey(seed)
+    best_params, best_val = params, float("inf")
+    t0 = time.time()
+    for step in range(steps):
+        key, k_ref, k_noise = jax.random.split(key, 3)
+        refs = ref_streams.sample_references(k_ref, n_traj, ref_variant,
+                                             t_steps, dtype=dtype)
+        params, opt_state, l = update(params, opt_state, refs, k_noise)
+        report.train_losses.append(float(l))
+        if closed_loop_val_fn is not None and (
+                step % val_every == val_every - 1 or step == steps - 1):
+            sel = float(closed_loop_val_fn(params))
+            report.cl_val_losses.append(sel)
+            if sel < best_val:
+                best_val = sel
+                best_params = jax.tree.map(lambda a: a.copy(), params)
+            if log_fn:
+                log_fn(step, report.train_losses[-1], sel)
+        elif log_fn:
+            log_fn(step, report.train_losses[-1], None)
+    report.wall_time_s = time.time() - t0
+    if keep_best and closed_loop_val_fn is not None:
+        params = best_params
+    return params, report
+
+
 def train_surrogate(params, x_train, y_train, x_val, y_val, *, lr=1e-3,
                     weight_decay=1e-2, epochs=50, batch_size=256, seed=0,
                     log_fn: Callable | None = None):

@@ -96,6 +96,15 @@ class UnsupervisedConfig:
     # guards against the controller exploiting surrogate error.
     closed_loop_val: bool = True
     closed_loop_val_traj: int = 8
+    # "surrogate": reference protocol — MPC-loss unrolled through the frozen
+    # LSTM surrogate (Unsupervised Learning/Main.py:326-348).  "plant":
+    # TPU-native alternative — analytic policy gradients through the true
+    # differentiable RK4 plant (nn/train.train_plant_in_loop); no surrogate
+    # bias to exploit, same controller architecture and deployment path.
+    train_mode: str = "surrogate"
+    plant_steps: int = 300            # optimizer steps for train_mode="plant"
+    plant_n_traj: int = 32            # fresh reference streams per step
+    plant_lr: float = 1e-3
     flags: Flags = Flags()
 
     @property

@@ -118,12 +118,19 @@ def run(results: dict, surrogate_params, state_scaler,
             cl_val_fn = make_closed_loop_val(
                 in_sc, u_sc, n_traj=cfg.closed_loop_val_traj,
                 t_traj=t_traj, dtype=dtype, seed=seed)
-        params, rep = train.train_unsupervised(
-            params, surrogate_params, xtr, utr, ztr, xva, uva,
-            horizon=cfg.horizon, alpha=cfg.alpha, lr=cfg.lr,
-            epochs=cfg.epochs, batch_size=max(cfg.batch_size, 1),
-            enable_noise=cfg.flags.enable_noise, seed=seed,
-            closed_loop_val_fn=cl_val_fn)
+        if cfg.train_mode == "plant":
+            params, rep = train.train_plant_in_loop(
+                params, in_sc, u_sc, t_steps=t_traj,
+                n_traj=cfg.plant_n_traj, steps=cfg.plant_steps,
+                lr=cfg.plant_lr, rterm=0.02, seed=seed,
+                closed_loop_val_fn=cl_val_fn)
+        else:
+            params, rep = train.train_unsupervised(
+                params, surrogate_params, xtr, utr, ztr, xva, uva,
+                horizon=cfg.horizon, alpha=cfg.alpha, lr=cfg.lr,
+                epochs=cfg.epochs, batch_size=max(cfg.batch_size, 1),
+                enable_noise=cfg.flags.enable_noise, seed=seed,
+                closed_loop_val_fn=cl_val_fn)
     else:
         rep = train.TrainReport()
 

@@ -44,3 +44,31 @@ def load(path: str, like):
 def load_meta(path: str) -> dict:
     with open(path + ".meta.json") as f:
         return json.load(f)["meta"]
+
+
+# --- orbax backend ---------------------------------------------------------
+# The TPU-idiomatic checkpointing path (async-capable, multi-host aware).
+# The .npz path above stays the default because it has zero deps and the
+# checkpoints here are kilobytes; orbax matters when params shard over a
+# mesh (orbax writes per-shard without gathering to one host).
+
+def save_orbax(path: str, tree, meta: dict | None = None) -> None:
+    """Save a pytree with orbax (directory checkpoint at ``path``)."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, tree, force=True)
+    with open(path + ".meta.json", "w") as f:
+        json.dump({"meta": meta or {}}, f)
+
+
+def load_orbax(path: str, like):
+    """Restore a pytree saved by :func:`save_orbax` into ``like``'s
+    structure (and shardings, when ``like`` carries sharded arrays)."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(path, jax.tree.map(
+            lambda a: ocp.utils.to_shape_dtype_struct(a), like))

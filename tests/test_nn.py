@@ -213,3 +213,17 @@ def test_unsupervised_training_step_runs():
         horizon=5, epochs=2, batch_size=15)
     assert len(report.train_losses) == 2
     assert np.all(np.isfinite(report.train_losses))
+
+
+def test_plant_in_loop_training_step_runs():
+    """Analytic-policy-gradient trainer: gradients flow through the true
+    RK4 plant rollout and produce finite, decreasing-ish losses."""
+    cp, _ = fnn.init(jax.random.PRNGKey(0), dtype=jnp.float32)
+    in_sc = scalers.Scaler(jnp.zeros(3), jnp.asarray([0.4, 0.15, 0.4]))
+    u_sc = scalers.Scaler(jnp.zeros(1), jnp.asarray([0.2]))
+    cp, report = train.train_plant_in_loop(
+        cp, in_sc, u_sc, t_steps=20, n_traj=2, steps=3, lr=1e-3, seed=0)
+    assert len(report.train_losses) == 3
+    assert np.all(np.isfinite(report.train_losses))
+    # parameters actually moved
+    assert float(jnp.abs(cp["w_out"]).sum()) > 0

@@ -74,6 +74,22 @@ def test_checkpoint_roundtrip(tmp_path):
     assert checkpoint.load_meta(path)["horizon"] == 10
 
 
+def test_checkpoint_orbax_roundtrip(tmp_path):
+    from forging_control_tpu.nn import fnn, scalers
+    params, _ = fnn.init(jax.random.PRNGKey(0))
+    sc = scalers.Scaler(jnp.zeros(3), jnp.ones(3) * 2)
+    tree = {"params": params, "scaler": sc}
+    path = str(tmp_path / "ckpt_orbax")
+    checkpoint.save_orbax(path, tree, meta={"horizon": 10})
+    like = {"params": jax.tree.map(jnp.zeros_like, params),
+            "scaler": scalers.Scaler(jnp.zeros(3), jnp.zeros(3))}
+    loaded = checkpoint.load_orbax(path, like)
+    np.testing.assert_allclose(np.array(loaded["params"]["w_in"]),
+                               np.array(params["w_in"]))
+    np.testing.assert_allclose(np.array(loaded["scaler"].scale), 2.0)
+    assert checkpoint.load_meta(path)["horizon"] == 10
+
+
 def test_timer_stats():
     t = Timer()
     for _ in range(5):
@@ -90,3 +106,25 @@ def test_cli_generate(tmp_path, capsys):
               "--out", str(tmp_path)])
     files = os.listdir(tmp_path)
     assert "forging_mult_traj_process_noise_N_5.npz" in files
+
+
+def test_html_dashboard(tmp_path):
+    """Self-contained interactive dashboard: valid HTML, embeds all
+    trajectories' data, includes slider + hover machinery, zero deps."""
+    from forging_control_tpu.eval import html_dash
+    telem = _tiny_telem()
+    p = str(tmp_path / "Images/dashboard.html")
+    html_dash.dashboard_from_telemetry(telem, p, title="test run")
+    text = open(p).read()
+    assert text.startswith("<!DOCTYPE html>")
+    assert "test run" in text and "slider" in text and "mousemove" in text
+    data = json.loads(text.split("const DATA = ", 1)[1].split(";\n", 1)[0])
+    assert len(data) == 2                       # one entry per trajectory
+    assert data[0][0]["title"] == "speed tracking"
+    ref_series = data[0][0]["series"][0]
+    np.testing.assert_allclose(ref_series["y"], np.asarray(telem.ref)[0],
+                               atol=1e-6)
+
+    p2 = str(tmp_path / "Images/solver.html")
+    html_dash.solver_dashboard_from_telemetry(telem, p2)
+    assert "iterations" in open(p2).read()
