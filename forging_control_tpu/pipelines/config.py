@@ -42,6 +42,10 @@ class GenerateConfig:
     ref_variant: str = "generate"
     process_std: tuple = PROCESS_STD
     meas_std: tuple = MEAS_STD
+    # Solver preset: "default" (feasible), "fast" (throughput), or
+    # "ipopt_compat" (reproduces the recorded IPOPT's transient behavior —
+    # see sqp.MPCConfig.ipopt_compat).
+    solver_preset: str = "default"
     flags: Flags = Flags()
 
 
@@ -63,6 +67,8 @@ class SupervisedConfig:
     # None reproduces that behavior, set values to opt into hard saturation.
     lb_u: float | None = None
     ub_u: float | None = None
+    solver_preset: str = "default"    # MPC baseline eval solver (see
+                                      # GenerateConfig.solver_preset)
     flags: Flags = Flags()
 
 

@@ -34,7 +34,9 @@ def run(cfg: GenerateConfig = GenerateConfig(), *, seed: int = 0,
     (replayable against the reference); False draws counter-based
     jax.random streams for arbitrary scale.
     """
-    mpc_cfg = sqp.MPCConfig(
+    make = {"default": sqp.MPCConfig, "fast": sqp.MPCConfig.fast,
+            "ipopt_compat": sqp.MPCConfig.ipopt_compat}[cfg.solver_preset]
+    mpc_cfg = make(
         horizon=cfg.horizon,
         variant="raw" if cfg.variant_model == "raw" else "smooth")
     loop_cfg = cl.LoopConfig(

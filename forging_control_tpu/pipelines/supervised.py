@@ -99,7 +99,9 @@ def run(results: dict, cfg: SupervisedConfig = SupervisedConfig(), *,
                   (cfg.n_traj_eval, 1))
     key = jax.random.PRNGKey(seed + 1)
 
-    mpc_cfg = sqp.MPCConfig(
+    make = {"default": sqp.MPCConfig, "fast": sqp.MPCConfig.fast,
+            "ipopt_compat": sqp.MPCConfig.ipopt_compat}[cfg.solver_preset]
+    mpc_cfg = make(
         horizon=cfg.horizon, variant="smooth", gn_iters=6, al_iters=2,
         p_max=32e6 if cfg.flags.enable_feasibility else None)
     mpc_ctrl = cl.MPCController(mpc_cfg)

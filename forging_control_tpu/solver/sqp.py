@@ -97,6 +97,26 @@ class MPCConfig:
         defaults.update(kw)
         return cls(**defaults)
 
+    @classmethod
+    def ipopt_compat(cls, **kw):
+        """Bit-parity preset matching the *recorded* IPOPT closed loop.
+
+        Through the work->return cavitation transient the recorded IPOPT
+        iterates violate their own p >= 0 bounds by ~5e6 Pa (verified by
+        evaluating the recorded sequences' constraint residuals under the
+        model dynamics) and track the reference better there; the default
+        config stays feasible and brakes instead.  This preset reproduces
+        the recorded behavior — p_min relaxed by the observed violation
+        and a soft constant AL penalty — measured closed-loop tracking MAE
+        0.04554 vs the recorded 0.04521 (default config: 0.0508) and mean
+        command deviation vs the golden trajectories 1.4e-4
+        (scripts/ipopt_compat_exp.py sweep).  Use for parity with the
+        reference's artifacts; prefer the default for actual feasibility.
+        """
+        defaults = dict(p_min=-5e6, mu0=1.0, mu_factor=1.0)
+        defaults.update(kw)
+        return cls(**defaults)
+
 
 class SolverState(NamedTuple):
     """Warm-start carry across closed-loop steps (cf. IPOPT warm start)."""

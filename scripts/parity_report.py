@@ -60,15 +60,18 @@ def main():
     states = np.vstack([press.X0_REFERENCE, rows[:299, 2:7]])
     uprev = np.concatenate([[0.0], rows[:299, 7]])
 
-    @jax.jit
-    def solve_batch(xs, rs, ups):
-        def one(x, r, up):
-            u0, _, d = sqp.solve(cfg, x, r, up, sqp.init_state(cfg, jnp.float64))
-            return u0, d.inf_pr
-        return jax.vmap(one)(xs, rs, ups)
+    def make_solve_batch(cfg):
+        @jax.jit
+        def solve_batch(xs, rs, ups):
+            def one(x, r, up):
+                u0, _, d = sqp.solve(cfg, x, r, up,
+                                     sqp.init_state(cfg, jnp.float64))
+                return u0, d.inf_pr
+            return jax.vmap(one)(xs, rs, ups)
+        return solve_batch
 
-    u0, inf_pr = solve_batch(jnp.array(states), jnp.array(rows[:300, 1]),
-                             jnp.array(uprev))
+    u0, inf_pr = make_solve_batch(cfg)(
+        jnp.array(states), jnp.array(rows[:300, 1]), jnp.array(uprev))
     u0 = np.array(u0)
     relu = np.abs(u0 - rows[:300, 7]) / np.maximum(np.abs(rows[:300, 7]), 1e-2)
     out["solver_command_parity"] = {
@@ -81,22 +84,44 @@ def main():
                  "under the model dynamics"),
     }
 
+    # --- cold-start parity, ipopt_compat preset ----------------------------
+    # (reproduces the recorded transient where IPOPT's own iterates violate
+    # p >= 0; see sqp.MPCConfig.ipopt_compat)
+    cfg_c = sqp.MPCConfig.ipopt_compat(horizon=10, variant="smooth",
+                                       gn_iters=15, al_iters=3)
+    u0c, _ = make_solve_batch(cfg_c)(
+        jnp.array(states), jnp.array(rows[:300, 1]), jnp.array(uprev))
+    reluc = np.abs(np.array(u0c) - rows[:300, 7]) / np.maximum(
+        np.abs(rows[:300, 7]), 1e-2)
+    out["solver_command_parity_ipopt_compat"] = {
+        "median_rel": float(np.median(reluc)),
+        "p95_rel": float(np.percentile(reluc, 95)),
+        "frac_within_1e-3": float(np.mean(reluc < 1e-3)),
+    }
+
     # --- closed-loop metrics ----------------------------------------------
     loop_cfg = cl.LoopConfig(t_steps=300, variant="smooth")
-    ctrl = cl.MPCController(sqp.MPCConfig(horizon=10, variant="smooth"))
     refs = jnp.array(rows[:, 1].reshape(2, 300))
     x0 = jnp.tile(cl.default_x0(), (2, 1))
-    _, telem = jax.jit(lambda x, r, k: cl.run_batch(loop_cfg, ctrl, x, r, k))(
-        x0, refs, jax.random.PRNGKey(0))
-    mae = float(np.abs(np.array(telem.x[..., 1]).ravel()
-                       - np.array(telem.ref).ravel()).mean())
-    out["closed_loop"] = {
-        "tracking_MAE": mae,
-        "reference_tracking_MAE": 0.045209,
-        "recorded_golden_MAE": float(np.abs(rows[:, 3] - rows[:, 1]).mean()),
-        "command_mean_abs_dev_vs_golden": float(
-            np.abs(np.array(telem.u).ravel() - rows[:, 7]).mean()),
-    }
+    out["closed_loop"] = {}
+    for name, mcfg in [
+            ("default", sqp.MPCConfig(horizon=10, variant="smooth")),
+            ("ipopt_compat",
+             sqp.MPCConfig.ipopt_compat(horizon=10, variant="smooth"))]:
+        ctrl = cl.MPCController(mcfg)
+        _, telem = jax.jit(
+            lambda x, r, k, c=ctrl: cl.run_batch(loop_cfg, c, x, r, k))(
+                x0, refs, jax.random.PRNGKey(0))
+        mae = float(np.abs(np.array(telem.x[..., 1]).ravel()
+                           - np.array(telem.ref).ravel()).mean())
+        out["closed_loop"][name] = {
+            "tracking_MAE": mae,
+            "command_mean_abs_dev_vs_golden": float(
+                np.abs(np.array(telem.u).ravel() - rows[:, 7]).mean()),
+        }
+    out["closed_loop"]["reference_tracking_MAE"] = 0.045209
+    out["closed_loop"]["recorded_golden_MAE"] = float(
+        np.abs(rows[:, 3] - rows[:, 1]).mean())
 
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "docs", "RESULTS-parity.json")
