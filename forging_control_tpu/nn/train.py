@@ -213,7 +213,12 @@ def train_plant_in_loop(params, in_scaler, u_scaler, *, width_dim=1,
 
     @jax.jit
     def update(p, opt_state, refs, key):
-        l, grads = jax.value_and_grad(episode_cost)(p, refs, key)
+        # Full f32 matmul precision: TPU dots default to bf16 inputs, which
+        # is fine for the forward closed loop but degrades 300-step BPTT
+        # gradients enough to stall training (measured: loss plateaus at
+        # ~0.3 on TPU vs steady descent on CPU with identical settings).
+        with jax.default_matmul_precision("highest"):
+            l, grads = jax.value_and_grad(episode_cost)(p, refs, key)
         updates, opt_state = tx.update(grads, opt_state, p)
         return optax.apply_updates(p, updates), opt_state, l
 

@@ -65,6 +65,10 @@ def load() -> ctypes.CDLL:
         lib.fc_mpc_create.restype = ctypes.c_void_p
         lib.fc_mpc_create.argtypes = [ctypes.c_int, D, ctypes.c_int,
                                       ctypes.c_int, ctypes.c_int, D]
+        lib.fc_mpc_create_ex.restype = ctypes.c_void_p
+        lib.fc_mpc_create_ex.argtypes = [ctypes.c_int, D, ctypes.c_int,
+                                         ctypes.c_int, ctypes.c_int, D, D,
+                                         D, D]
         lib.fc_mpc_destroy.argtypes = [ctypes.c_void_p]
         lib.fc_mpc_reset.argtypes = [ctypes.c_void_p]
         lib.fc_mpc_step.restype = D
@@ -106,11 +110,19 @@ class NativeMPC:
     """
 
     def __init__(self, horizon=10, dt=1e-3, substeps=4, gn_iters=5,
-                 al_iters=2, p_max=None):
+                 al_iters=2, p_max=None, p_min=0.0, mu0=1e2, mu_factor=10.0,
+                 preset=None):
+        """preset="ipopt_compat" applies the recorded-IPOPT parity settings
+        (p_min=-5e6, mu0=1, mu_factor=1 — sqp.MPCConfig.ipopt_compat)."""
+        if preset == "ipopt_compat":
+            p_min, mu0, mu_factor = -5e6, 1.0, 1.0
+        elif preset is not None:
+            raise ValueError(f"unknown preset {preset!r}")
         self._lib = load()
-        self._h = self._lib.fc_mpc_create(
+        self._h = self._lib.fc_mpc_create_ex(
             horizon, dt, substeps, gn_iters, al_iters,
-            -1.0 if p_max is None else float(p_max))
+            -1.0 if p_max is None else float(p_max), float(p_min),
+            float(mu0), float(mu_factor))
         if not self._h:
             raise ValueError(
                 f"fc_mpc_create failed (horizon must be 1..25, got {horizon})")

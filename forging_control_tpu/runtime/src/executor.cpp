@@ -149,6 +149,26 @@ void* fc_mpc_create(int horizon, double dt, int substeps, int gn_iters,
   return new (std::nothrow) forging::SqpSolver(cfg);
 }
 
+// Full-config constructor: additionally exposes the pressure lower bound
+// and AL penalty schedule (ipopt_compat preset: p_min=-5e6, mu0=1,
+// mu_factor=1 — see solver/sqp.py MPCConfig.ipopt_compat).
+void* fc_mpc_create_ex(int horizon, double dt, int substeps, int gn_iters,
+                       int al_iters, double p_max, double p_min, double mu0,
+                       double mu_factor) {
+  if (horizon < 1 || horizon > forging::kMaxN) return nullptr;
+  forging::SqpConfig cfg;
+  cfg.horizon = horizon;
+  cfg.dt = dt;
+  cfg.substeps = substeps;
+  cfg.gn_iters = gn_iters;
+  cfg.al_iters = al_iters;
+  cfg.p_max = p_max;
+  cfg.p_min = p_min;
+  cfg.mu0 = mu0;
+  cfg.mu_factor = mu_factor;
+  return new (std::nothrow) forging::SqpSolver(cfg);
+}
+
 void fc_mpc_destroy(void* h) { delete static_cast<forging::SqpSolver*>(h); }
 
 void fc_mpc_reset(void* h) { static_cast<forging::SqpSolver*>(h)->reset(); }
