@@ -41,6 +41,13 @@ class LoopConfig:
     process_std: tuple = (0.0,) * 5     # per-state process noise std
     meas_std: tuple = (0.0,) * 5        # per-state measurement noise std
     params: press.PressParams = press.DEFAULT_PARAMS
+    # Optional per-state |x| clamp applied after each integration step.
+    # None = faithful plant (default; all evaluation paths).  Used by
+    # policy training in the loop, where an aggressive candidate policy can
+    # push the stiff pressure dynamics to blow-up/NaN and poison BPTT: the
+    # clamp keeps the episode finite (zero gradient through saturated
+    # states) so the batch gradient stays informative.
+    state_clip: tuple | None = None
 
 
 class Telemetry(NamedTuple):
@@ -139,6 +146,9 @@ def run_trajectory(loop_cfg: LoopConfig, controller, x0, refs, key,
 
         x_next = rk4_step(f, x_true, u0, loop_cfg.dt, loop_cfg.substeps,
                           disturbance=w)
+        if loop_cfg.state_clip is not None:
+            lim = jnp.asarray(loop_cfg.state_clip, dtype)
+            x_next = jnp.clip(jnp.nan_to_num(x_next), -lim, lim)
         x_meas_next = press.measure(x_next, loop_cfg.params, loop_cfg.variant) + v
 
         out = Telemetry(x=x_meas_next, u=u0, ref=ref, Fd=Fd, w=w, diag=diag)

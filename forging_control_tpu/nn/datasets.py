@@ -29,13 +29,24 @@ def window_indices(n: int, lookback: int) -> np.ndarray:
     return np.maximum(idx, 0)
 
 
-def windows(features: np.ndarray, targets: np.ndarray, lookback: int):
+def windows(features: np.ndarray, targets: np.ndarray, lookback: int,
+            traj_len: int | None = None):
     """CreateDataset equivalent: (x[i] = features window ending at i,
-    y[i] = targets[min(i+1, n-1)])."""
+    y[i] = targets[min(i+1, n-1)]).
+
+    ``traj_len``: build windows per-trajectory (reference's
+    ``get_individual_dataset`` slicing — no window straddles a reset)."""
     n = len(features)
-    x = features[window_indices(n, lookback)]
-    nxt = np.minimum(np.arange(n) + 1, n - 1)
-    return x, targets[nxt]
+    if traj_len is None or n <= traj_len:
+        x = features[window_indices(n, lookback)]
+        nxt = np.minimum(np.arange(n) + 1, n - 1)
+        return x, targets[nxt]
+    idx = np.arange(n)
+    start = (idx // traj_len) * traj_len
+    end = np.minimum(start + traj_len, n)
+    win = np.maximum(idx[:, None] + np.arange(-lookback + 1, 1)[None, :],
+                     start[:, None])
+    return features[win], targets[np.minimum(idx + 1, end - 1)]
 
 
 def supervised_pairs(features: np.ndarray, targets: np.ndarray):
@@ -43,12 +54,28 @@ def supervised_pairs(features: np.ndarray, targets: np.ndarray):
     return features, targets
 
 
-def unsupervised_triples(features, targets, recurrent, lookback: int):
-    """(x_t, y_{t+1}, window_t) triples."""
+def unsupervised_triples(features, targets, recurrent, lookback: int,
+                         traj_len: int | None = None):
+    """(x_t, y_{t+1}, window_t) triples.
+
+    ``traj_len``: when set, windows and next-step targets are built
+    per-trajectory (blocks of ``traj_len`` rows), matching the reference's
+    per-trajectory datasets (``Data.get_individual_dataset``,
+    ``Unsupervised Learning/Main.py:270-273``) — a window never straddles
+    a trajectory reset, and the last target of a trajectory repeats its
+    own final command rather than peeking at the next trajectory."""
     n = len(features)
-    z = recurrent[window_indices(n, lookback)]
-    nxt = np.minimum(np.arange(n) + 1, n - 1)
-    return features, targets[nxt], z
+    if traj_len is None or n <= traj_len:
+        z = recurrent[window_indices(n, lookback)]
+        nxt = np.minimum(np.arange(n) + 1, n - 1)
+        return features, targets[nxt], z
+    idx = np.arange(n)
+    start = (idx // traj_len) * traj_len
+    end = np.minimum(start + traj_len, n)
+    win = idx[:, None] + np.arange(-lookback + 1, 1)[None, :]
+    win = np.maximum(win, start[:, None])
+    nxt = np.minimum(idx + 1, end - 1)
+    return features, targets[nxt], recurrent[win]
 
 
 def split_603030(n: int):

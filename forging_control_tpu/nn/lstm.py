@@ -19,9 +19,13 @@ import jax.numpy as jnp
 
 
 def init(key, input_dim=5, hidden_dim=50, num_layers=3, output_dim=4,
-         dtype=jnp.float32):
-    """torch-default uniform(-1/sqrt(H), 1/sqrt(H)) init, bias-free."""
-    keys = jax.random.split(key, 2 * num_layers + 1)
+         dtype=jnp.float32, readout_bias=True):
+    """torch-default uniform(-1/sqrt(H), 1/sqrt(H)) init.
+
+    The LSTM cells are bias-free (reference: ``bias=False``,
+    Model_NN/Functions.py:286) but the readout nn.Linear keeps its default
+    bias (``:289``); ``readout_bias=False`` opts out."""
+    keys = jax.random.split(key, 2 * num_layers + 2)
     bound = 1.0 / jnp.sqrt(jnp.asarray(hidden_dim, dtype))
     layers = []
     for l in range(num_layers):
@@ -33,7 +37,11 @@ def init(key, input_dim=5, hidden_dim=50, num_layers=3, output_dim=4,
         layers.append({"w_ih": w_ih, "w_hh": w_hh})
     w_out = jax.random.uniform(keys[-1], (hidden_dim, output_dim),
                                dtype, -bound, bound)
-    return {"layers": layers, "w_out": w_out}
+    params = {"layers": layers, "w_out": w_out}
+    if readout_bias:
+        params["b_out"] = jax.random.uniform(keys[-2], (output_dim,),
+                                             dtype, -bound, bound)
+    return params
 
 
 def _cell(x, h, c, layer):
@@ -72,4 +80,10 @@ def apply(params, x):
 
     xt = jnp.moveaxis(x, -2, 0)  # (T, ..., input_dim)
     (h, _), _ = jax.lax.scan(step, (h0, c0), xt)
-    return h[-1] @ params["w_out"]
+    out = h[-1] @ params["w_out"]
+    # The reference's readout nn.Linear carries a bias (Model_NN/
+    # Functions.py:289) even though the LSTM layers are bias-free; support
+    # it as an optional key so recorded reference weights load exactly.
+    if "b_out" in params:
+        out = out + params["b_out"]
+    return out

@@ -191,24 +191,42 @@ def train_plant_in_loop(params, in_scaler, u_scaler, *, width_dim=1,
     from . import fnn as fnn_mod
 
     dtype = jnp.result_type(*jax.tree.leaves(params))
+    # state_clip: keep training episodes finite when a candidate policy
+    # excites the stiff pressure dynamics (evaluation paths never clip).
     loop_cfg = cl.LoopConfig(t_steps=t_steps, variant=variant,
-                             process_std=process_std)
+                             process_std=process_std,
+                             state_clip=(1.0, 10.0, 1e9, 1e9, 1.0))
     x0 = jnp.tile(jnp.asarray(cl.press.X0_REFERENCE, dtype), (n_traj, 1))
 
-    tx = optax.chain(optax.clip_by_global_norm(clip_norm),
-                     optax.adamw(lr, weight_decay=weight_decay))
+    # BPTT through the stiff pressure dynamics can spike (the cavitation
+    # region has huge local sensitivities): clip the gradient norm, decay
+    # the step size, and reject non-finite updates outright (measured: an
+    # unguarded run diverged to NaN at ~step 1200 after reaching its best
+    # closed-loop MAE).
+    sched = optax.cosine_decay_schedule(lr, max(steps, 1), alpha=0.05)
+    tx = optax.apply_if_finite(
+        optax.chain(optax.clip_by_global_norm(clip_norm),
+                    optax.adamw(sched, weight_decay=weight_decay)),
+        max_consecutive_errors=1000)
     opt_state = tx.init(params)
 
     def episode_cost(p, refs, key):
         ctrl = cl.FunctionController(
             fnn_mod.make_policy(p, in_scaler, u_scaler, width_dim))
         _, telem = cl.run_batch(loop_cfg, ctrl, x0, refs, key)
-        track = jnp.mean(jnp.square(telem.x[..., 1] - telem.ref))
+        # Saturate the per-step tracking cost: an aggressive candidate
+        # policy can excite the stiff pressure dynamics into blow-up, and
+        # one diverged episode's squared error (~1e6) would otherwise own
+        # the whole batch gradient (measured: unsaturated runs reach their
+        # best closed-loop MAE then oscillate and diverge).  y_dot spans
+        # roughly [-0.9, 0.9], so a cap of 4 only clips pathologies.
+        err2 = jnp.square(telem.x[..., 1] - telem.ref)
+        track = jnp.mean(jnp.minimum(err2, 4.0))
         du = jnp.diff(telem.u, axis=-1, prepend=jnp.zeros_like(telem.u[:, :1]))
         smooth = rterm * jnp.mean(jnp.square(du / U_SCALE))
         p_scaled = telem.x[..., 2:4] / 1e7
-        barrier = pressure_weight * jnp.mean(
-            jax.nn.relu(-p_scaled) + jax.nn.relu(p_scaled - 3.2))
+        barrier = pressure_weight * jnp.mean(jnp.minimum(
+            jax.nn.relu(-p_scaled) + jax.nn.relu(p_scaled - 3.2), 10.0))
         return track + smooth + barrier
 
     @jax.jit
@@ -225,13 +243,30 @@ def train_plant_in_loop(params, in_scaler, u_scaler, *, width_dim=1,
     report = TrainReport()
     key = jax.random.PRNGKey(seed)
     best_params, best_val = params, float("inf")
+    best_train = float("inf")
+    snap = (jax.tree.map(lambda a: a.copy(), params),
+            jax.tree.map(lambda a: a.copy(), opt_state), float("inf"))
     t0 = time.time()
     for step in range(steps):
         key, k_ref, k_noise = jax.random.split(key, 3)
         refs = ref_streams.sample_references(k_ref, n_traj, ref_variant,
                                              t_steps, dtype=dtype)
         params, opt_state, l = update(params, opt_state, refs, k_noise)
-        report.train_losses.append(float(l))
+        l = float(l)
+        # Rewind on divergence: one over-eager step can drop the policy
+        # off a cliff (episode blow-up) from which gradients don't recover
+        # (measured).  Restore the best-loss snapshot and continue — the
+        # decayed lr takes a smaller step past the cliff next time.
+        if not np.isfinite(l) or (np.isfinite(best_train)
+                                  and l > 4.0 * max(best_train, 1e-3)):
+            params, opt_state = (jax.tree.map(lambda a: a.copy(), snap[0]),
+                                 jax.tree.map(lambda a: a.copy(), snap[1]))
+            l = snap[2]
+        elif l < best_train:
+            best_train = l
+            snap = (jax.tree.map(lambda a: a.copy(), params),
+                    jax.tree.map(lambda a: a.copy(), opt_state), l)
+        report.train_losses.append(l)
         if closed_loop_val_fn is not None and (
                 step % val_every == val_every - 1 or step == steps - 1):
             sel = float(closed_loop_val_fn(params))

@@ -47,8 +47,9 @@ def run(results_list, cfg: SurrogateConfig = SurrogateConfig(), *,
     sc = scalers.fit("maxabs", table[tr])
     scaled = np.asarray(sc.transform(jnp.asarray(table)))
 
-    def windows_for(sl):
-        x, y = datasets.windows(scaled[sl], scaled[sl][:, :4], cfg.lookback)
+    def windows_for(sl, traj_len=300):
+        x, y = datasets.windows(scaled[sl], scaled[sl][:, :4], cfg.lookback,
+                                traj_len=traj_len)
         return x.astype(np.float32), y.astype(np.float32)
 
     xtr, ytr = windows_for(tr)

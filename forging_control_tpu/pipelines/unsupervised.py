@@ -62,9 +62,10 @@ def prepare_data(results: dict, state_scaler, cfg: UnsupervisedConfig,
     track = np.stack([results[k].ravel() for k in SURROGATE_FEATURES], axis=1)
     track_s = np.asarray(state_scaler.transform(jnp.asarray(track)))
 
-    def triples(sl):
+    def triples(sl, traj_len=300):
         x, y, zz = datasets.unsupervised_triples(
-            feats[sl], targ[sl], track_s[sl], cfg.lookback)
+            feats[sl], targ[sl], track_s[sl], cfg.lookback,
+            traj_len=traj_len)
         keep = datasets.resample_every(len(x), cfg.horizon)
         return (x[keep].astype(np.float32), y[keep].astype(np.float32),
                 zz[keep].astype(np.float32))

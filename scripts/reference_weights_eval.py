@@ -1,0 +1,130 @@
+"""Run the REFERENCE'S OWN trained controllers inside this framework.
+
+The reference repo ships its trained FNN controller state_dicts
+(``Supervised Learning/results/NN_controller_N_10_{sim}.pt``,
+``Unsupervised Learning/results/NN_controller_N_10_{sim}.pt``) and the
+supervised sklearn scalers.  Loading those weights into our FNN and
+rolling them in OUR closed-loop engine on the same seeded reference
+streams is an end-to-end cross-validation of the plant + integrator +
+loop: if the recorded closed-loop metrics reproduce, every difference in
+our own trained controllers is attributable to training, not simulation.
+
+Recorded baselines (no noise): supervised NN MAE 0.053904, unsupervised
+NN MAE 0.070924 (Tables/Normal/NN_results_N_10.csv).
+
+Usage: JAX_PLATFORMS=cpu python scripts/reference_weights_eval.py
+"""
+
+import json
+import os
+import pickle
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_fct")
+
+import jax.numpy as jnp
+import numpy as np
+
+REF = "/root/reference"
+
+
+def load_fnn_state(path):
+    import torch
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    return {
+        "w_in": jnp.asarray(sd["fc_inp.weight"].numpy().T, jnp.float64),
+        "b_in": jnp.asarray(sd["fc_inp.bias"].numpy(), jnp.float64),
+        "w_int": jnp.asarray(sd["fc_int.weight"].numpy().T, jnp.float64),
+        "b_int": jnp.asarray(sd["fc_int.bias"].numpy(), jnp.float64),
+        "w_out": jnp.asarray(sd["fc_out.weight"].numpy().T, jnp.float64),
+    }
+
+
+def main():
+    from forging_control_tpu.eval import metrics
+    from forging_control_tpu.loop import closed_loop as cl
+    from forging_control_tpu.nn import fnn, scalers
+    from forging_control_tpu.refgen import streams
+
+    with open(f"{REF}/Supervised Learning/results/scaler_input.pkl", "rb") as f:
+        sk_in = pickle.load(f)
+    with open(f"{REF}/Supervised Learning/results/scaler_output.pkl", "rb") as f:
+        sk_out = pickle.load(f)
+    in_scale = np.asarray(sk_in.max_abs_, float)      # [y_dot, z, ref]
+    out_scale = np.asarray(sk_out.max_abs_, float)    # [u]
+
+    sup_in = scalers.Scaler(jnp.zeros(3), jnp.asarray(in_scale))
+    # unsupervised: ref is scaled with the y_dot scaler
+    # (Unsupervised Learning/Main.py:235-261)
+    uns_in = scalers.Scaler(
+        jnp.zeros(3), jnp.asarray([in_scale[0], in_scale[1], in_scale[0]]))
+    out_sc = scalers.Scaler(jnp.zeros(1), jnp.asarray(out_scale))
+
+    loop_cfg = cl.LoopConfig(t_steps=300, variant="smooth")
+    out = {"scaler_max_abs": {"input": in_scale.tolist(),
+                              "output": out_scale.tolist()}}
+
+    def run_policy(params, in_sc, ref_variant):
+        policy = fnn.make_policy(params, in_sc, out_sc)
+        ctrl = cl.FunctionController(policy)
+        refs = jnp.asarray(streams.reference_table(2, ref_variant, 300))
+        x0 = jnp.tile(cl.default_x0(), (2, 1))
+        _, telem = jax.jit(
+            lambda x, r, k: cl.run_batch(loop_cfg, ctrl, x, r, k))(
+                x0, refs, jax.random.PRNGKey(0))
+        ref = np.asarray(telem.ref).ravel()
+        y_dot = np.asarray(telem.x[..., 1]).ravel()
+        m = {k: float(v) for k, v in
+             metrics.tracking_metrics(jnp.asarray(ref),
+                                      jnp.asarray(y_dot)).items()}
+        m["Command"] = float(np.abs(np.asarray(telem.u)).mean())
+        return m, np.asarray(telem.u)
+
+    for name, d, in_sc, rv, recorded in [
+            ("supervised", f"{REF}/Supervised Learning/results", sup_in,
+             "supervised", 0.053904),
+            ("unsupervised", f"{REF}/Unsupervised Learning/results", uns_in,
+             "unsupervised", 0.070924)]:
+        maes = []
+        for sim in range(10):
+            p = os.path.join(d, f"NN_controller_N_10_{sim}.pt")
+            if not os.path.exists(p):
+                continue
+            params = load_fnn_state(p)
+            m, u = run_policy(params, in_sc, rv)
+            maes.append(m["MAE"])
+            print(json.dumps({"which": name, "sim": sim, **m}), flush=True)
+        out[name] = {"MAE_mean": float(np.mean(maes)),
+                     "MAE_min": float(np.min(maes)),
+                     "MAE_max": float(np.max(maes)),
+                     "recorded_reference_MAE": recorded}
+
+    # supervised: also compare command trajectories against the recorded
+    # NN closed loop (Supervised_dataframe.txt)
+    rows = np.loadtxt(f"{REF}/Supervised Learning/results/"
+                      "Supervised_dataframe.txt", skiprows=1)
+    best = None
+    for sim in range(10):
+        params = load_fnn_state(
+            f"{REF}/Supervised Learning/results/NN_controller_N_10_{sim}.pt")
+        _, u = run_policy(params, sup_in, "supervised")
+        dev = float(np.abs(u.ravel() - rows[:, 7]).mean())
+        if best is None or dev < best[1]:
+            best = (sim, dev)
+    out["supervised_recorded_trajectory"] = {
+        "closest_sim": best[0], "u_mean_abs_dev": best[1],
+        "recorded_MAE": float(np.abs(rows[:, 3] - rows[:, 1]).mean())}
+
+    print(json.dumps(out, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -90,14 +90,13 @@ def test_lstm_matches_torch():
     ro = torch.nn.Linear(50, 4, bias=True).double()
     with torch.no_grad():
         ro.weight.copy_(torch.tensor(np.array(params["w_out"]).T))
-        ro.bias.zero_()
+        ro.bias.copy_(torch.tensor(np.array(params["b_out"])))
     x = np.random.RandomState(3).randn(8, 10, 5)
     with torch.no_grad():
         h, _ = tl(torch.tensor(x))
         want = ro(h[:, -1, :]).numpy()
     got = lstm.apply(params, jnp.array(x))
     np.testing.assert_allclose(np.array(got), want, rtol=1e-6, atol=1e-8)
-    # (readout in our impl has no bias; torch bias zeroed above)
 
 
 def test_lstm_batch_free_and_vmap_agree():
@@ -227,3 +226,26 @@ def test_plant_in_loop_training_step_runs():
     assert np.all(np.isfinite(report.train_losses))
     # parameters actually moved
     assert float(jnp.abs(cp["w_out"]).sum()) > 0
+
+
+def test_per_trajectory_windows_no_boundary_crossing():
+    """With traj_len set, windows are front-clamped at each trajectory
+    start and next-step targets never peek across a reset (reference's
+    per-trajectory get_individual_dataset semantics)."""
+    n, L, lookback = 12, 4, 3
+    feats = np.arange(n, dtype=float)[:, None]
+    targ = np.arange(n, dtype=float)[:, None]
+    rec = np.arange(n, dtype=float)[:, None]
+    x, y, z = datasets.unsupervised_triples(feats, targ, rec, lookback,
+                                            traj_len=L)
+    # first row of trajectory 1 (i=4): window clamps to [4,4,4]
+    np.testing.assert_allclose(z[4].ravel(), [4, 4, 4])
+    # last row of trajectory 0 (i=3): target repeats its own last command
+    assert y[3, 0] == 3.0
+    assert y[2, 0] == 3.0
+    # interior rows unchanged
+    np.testing.assert_allclose(z[6].ravel(), [4, 5, 6])
+
+    xw, yw = datasets.windows(rec, rec, lookback, traj_len=L)
+    np.testing.assert_allclose(xw[8].ravel(), [8, 8, 8])
+    assert yw[7, 0] == 7.0
