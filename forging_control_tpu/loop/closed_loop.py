@@ -74,16 +74,24 @@ class MPCController:
     """MPC with shift warm start — `make_step` equivalent.
 
     ``backend`` selects the solver: "sqp" (condensed GN, default) or
-    "ilqr" (Riccati sweep, solver/riccati.py)."""
+    "ilqr" (Riccati sweep, solver/riccati.py).  ``linsolve`` picks the
+    batch-level KKT kernel used by :func:`run_batch`'s fused path
+    (None = per-scenario vmap; "unrolled" | "pallas" = explicit-batch
+    sqp.solve_batch — see ops/smallchol)."""
 
     cfg: sqp.MPCConfig
     backend: str = "sqp"
+    linsolve: str | None = None
 
     def _mod(self):
         if self.backend == "ilqr":
             from ..solver import riccati
             return riccati
         return sqp
+
+    @property
+    def supports_batch(self) -> bool:
+        return self.linsolve is not None and self.backend == "sqp"
 
     def init_carry(self, dtype):
         return self._mod().init_state(self.cfg, dtype)
@@ -93,6 +101,16 @@ class MPCController:
         u0, new_state, diag = mod.solve(
             self.cfg, x_meas, ref, u_prev, mod.shift_state(carry))
         return u0, new_state, diag
+
+    def init_carry_batch(self, n_batch, dtype):
+        state = sqp.init_state(self.cfg, dtype)
+        return jax.tree.map(
+            lambda a: jnp.broadcast_to(a, (n_batch,) + a.shape), state)
+
+    def step_batch(self, carry, x_meas, ref, u_prev):
+        shifted = jax.vmap(sqp.shift_state)(carry)
+        return sqp.solve_batch(self.cfg, x_meas, ref, u_prev, shifted,
+                               linsolve=self.linsolve)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -163,7 +181,7 @@ def run_trajectory(loop_cfg: LoopConfig, controller, x0, refs, key,
 
 
 def run_batch(loop_cfg: LoopConfig, controller, x0, refs, key):
-    """vmap of :func:`run_trajectory` over a scenario batch.
+    """Scenario-batched closed loop.
 
     Args:
       x0: (B, 5) initial states.
@@ -173,10 +191,71 @@ def run_batch(loop_cfg: LoopConfig, controller, x0, refs, key):
     This is the TPU-native form of the reference's embarrassingly parallel
     trajectory loop (SURVEY.md section 2.10): the batch axis lands on the
     VPU lanes and shards over a mesh via the parallel/ module.
+
+    Controllers that declare ``supports_batch`` (e.g. ``MPCController``
+    with ``linsolve`` set) run through a fused explicit-batch body whose
+    solver linear algebra operates on the whole batch at once
+    (sqp.solve_batch); everything else takes the vmap path.  Both paths
+    use identical per-trajectory noise streams and agree to float
+    tolerance (tests/test_loop.py).
     """
     keys = jax.random.split(key, x0.shape[0])
+    if getattr(controller, "supports_batch", False):
+        return _run_batch_fused(loop_cfg, controller, x0, refs, keys)
     return jax.vmap(lambda x, r, k: run_trajectory(loop_cfg, controller, x, r, k)
                     )(x0, refs, keys)
+
+
+def _run_batch_fused(loop_cfg: LoopConfig, controller, x0, refs, keys,
+                     u_init=0.0):
+    """Explicit-batch twin of :func:`run_trajectory`.
+
+    Same step semantics and per-trajectory RNG stream, but the scan body
+    carries the full (B, ...) batch so the controller's ``step_batch`` can
+    run batch-level kernels."""
+    dtype = x0.dtype
+    B = x0.shape[0]
+    p_std = jnp.asarray(loop_cfg.process_std, dtype)
+    m_std = jnp.asarray(loop_cfg.meas_std, dtype)
+
+    def f(x, u):
+        return press.rhs(x, u, loop_cfg.params, loop_cfg.variant)
+
+    split3 = jax.vmap(lambda k: jax.random.split(k, 3))
+    normal5 = jax.vmap(lambda k: jax.random.normal(k, (5,), dtype))
+
+    def body(carry, inp):
+        x_true, x_meas, ctrl_carry, u_prev, keys = carry
+        ref, _t = inp  # ref (B,)
+        Fd = press.forging_force(x_meas[:, 0], x_meas[:, 1], loop_cfg.params)
+
+        u0, ctrl_carry, diag = controller.step_batch(
+            ctrl_carry, x_meas, ref, u_prev)
+        u0 = jnp.asarray(u0, dtype)
+
+        ks = split3(keys)
+        w = normal5(ks[:, 1]) * p_std
+        v = normal5(ks[:, 2]) * m_std
+
+        x_next = rk4_step(f, x_true, u0, loop_cfg.dt, loop_cfg.substeps,
+                          disturbance=w)
+        if loop_cfg.state_clip is not None:
+            lim = jnp.asarray(loop_cfg.state_clip, dtype)
+            x_next = jnp.clip(jnp.nan_to_num(x_next), -lim, lim)
+        x_meas_next = press.measure(x_next, loop_cfg.params,
+                                    loop_cfg.variant) + v
+
+        out = Telemetry(x=x_meas_next, u=u0, ref=ref, Fd=Fd, w=w, diag=diag)
+        return (x_next, x_meas_next, ctrl_carry, u0, ks[:, 0]), out
+
+    x0 = jnp.asarray(x0)
+    init = (x0, press.measure(x0, loop_cfg.params, loop_cfg.variant),
+            controller.init_carry_batch(B, dtype),
+            jnp.full((B,), u_init, dtype), keys)
+    (x_final, *_), telem = jax.lax.scan(
+        body, init, (refs.T, jnp.arange(loop_cfg.t_steps)))
+    # (T, B, ...) -> (B, T, ...) to match the vmap path's layout
+    return x_final, jax.tree.map(lambda a: jnp.moveaxis(a, 0, 1), telem)
 
 
 def default_x0(dtype=jnp.float64):

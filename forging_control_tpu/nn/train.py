@@ -34,6 +34,7 @@ class TrainReport:
     val_losses: list = field(default_factory=list)
     cl_val_losses: list = field(default_factory=list)  # closed-loop val MAE
     wall_time_s: float = 0.0
+    selected_seed: int | None = None  # set by multi-seed pipeline selection
 
 
 def l1_loss(pred, target):
@@ -42,6 +43,42 @@ def l1_loss(pred, target):
 
 def mse_loss(pred, target):
     return jnp.mean(jnp.square(pred - target))
+
+
+def make_closed_loop_val(in_scaler, u_scaler, *, n_traj: int = 8,
+                         t_traj: int = 300, dtype=jnp.float32, seed: int = 0,
+                         variant: str = "smooth",
+                         ref_variant: str = "unsupervised",
+                         width_dim: int = 1):
+    """Jitted true-plant validation rollout: params -> tracking MAE.
+
+    Rolls a candidate FNN controller in closed loop against the RK4 plant
+    on counter-based validation reference streams (distinct from the
+    CPython-exact evaluation streams, so model selection never sees the
+    test references).  One batched scan — milliseconds per call — which is
+    what makes closed-loop model selection affordable here when it was not
+    for the reference (CVODES rollouts cost minutes per candidate).
+    Used both for per-epoch checkpoint selection and for multi-seed
+    selection (the reference's "sim" replicas, Supervised Learning/Main.py)."""
+    from ..eval import metrics
+    from ..loop import closed_loop as cl
+    from ..refgen import streams
+
+    loop_cfg = cl.LoopConfig(t_steps=t_traj, variant=variant)
+    refs = streams.sample_references(
+        jax.random.PRNGKey(seed + 9000), n_traj, ref_variant, t_traj,
+        dtype=dtype)
+    x0 = jnp.tile(jnp.asarray(cl.press.X0_REFERENCE, dtype), (n_traj, 1))
+    key = jax.random.PRNGKey(seed + 9001)
+
+    @jax.jit
+    def val(params):
+        ctrl = cl.FunctionController(
+            fnn.make_policy(params, in_scaler, u_scaler, width_dim))
+        _, telem = cl.run_batch(loop_cfg, ctrl, x0, refs, key)
+        return metrics.mae(telem.ref, telem.x[..., 1])
+
+    return val
 
 
 def train_supervised(params, x_train, y_train, x_val, y_val, *,

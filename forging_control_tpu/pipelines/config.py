@@ -69,6 +69,10 @@ class SupervisedConfig:
     ub_u: float | None = None
     solver_preset: str = "default"    # MPC baseline eval solver (see
                                       # GenerateConfig.solver_preset)
+    # Independent training replicas, best selected by true-plant
+    # closed-loop validation MAE (cf. the reference's 10 "sim" replicas,
+    # Supervised Learning/Main.py sim loop).
+    n_seeds: int = 1
     flags: Flags = Flags()
 
 
@@ -111,6 +115,12 @@ class UnsupervisedConfig:
     plant_steps: int = 300            # optimizer steps for train_mode="plant"
     plant_n_traj: int = 32            # fresh reference streams per step
     plant_lr: float = 1e-3
+    # Train n_seeds independent controllers and keep the one with the best
+    # true-plant closed-loop validation MAE.  The reference trains 10 "sim"
+    # replicas per config (Supervised Learning/Main.py sim loop) and their
+    # shipped weights spread 0.058-0.071 closed-loop MAE — seed selection
+    # is part of its protocol; ours selects on held-out val streams.
+    n_seeds: int = 1
     flags: Flags = Flags()
 
     @property

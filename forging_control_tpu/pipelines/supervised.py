@@ -69,10 +69,29 @@ def run(results: dict, cfg: SupervisedConfig = SupervisedConfig(), *,
     params, _ = fnn.init(jax.random.PRNGKey(seed), hidden_dim=cfg.hidden_dim,
                          width_dim=cfg.width_dim, dtype=dtype)
     if cfg.flags.enable_training:
-        params, rep = train.train_supervised(
-            params, xtr, ytr, xva, yva, width_dim=cfg.width_dim,
-            lr=cfg.lr, epochs=cfg.epochs, batch_size=cfg.batch_size,
-            seed=seed)
+        # Multi-seed selection by true-plant closed-loop validation MAE on
+        # held-out streams (the reference trains 10 "sim" replicas,
+        # Supervised Learning/Main.py; see SupervisedConfig.n_seeds).
+        cl_val_fn = None
+        if cfg.n_seeds > 1:
+            cl_val_fn = train.make_closed_loop_val(
+                in_sc, out_sc, n_traj=8, t_traj=cfg.t_traj, dtype=dtype,
+                seed=seed, ref_variant="supervised",
+                width_dim=cfg.width_dim)
+        best = None
+        for k in range(max(1, cfg.n_seeds)):
+            s = seed + 1000 * k
+            p0, _ = fnn.init(jax.random.PRNGKey(s), hidden_dim=cfg.hidden_dim,
+                             width_dim=cfg.width_dim, dtype=dtype)
+            p_k, rep_k = train.train_supervised(
+                p0, xtr, ytr, xva, yva, width_dim=cfg.width_dim,
+                lr=cfg.lr, epochs=cfg.epochs, batch_size=cfg.batch_size,
+                seed=s)
+            score = float(cl_val_fn(p_k)) if cl_val_fn is not None else 0.0
+            if best is None or score < best[0]:
+                best = (score, s, p_k, rep_k)
+        _, sel_seed, params, rep = best
+        rep.selected_seed = sel_seed
     else:
         rep = train.TrainReport()
 

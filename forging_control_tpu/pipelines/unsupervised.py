@@ -20,7 +20,7 @@ from ..loop import closed_loop as cl
 from ..nn import datasets, fnn, scalers, surrogate_eval, train
 from ..refgen import streams
 from ..solver import feasibility, sqp
-from .config import UnsupervisedConfig
+from .config import PROCESS_STD, UnsupervisedConfig
 from .surrogate import SURROGATE_FEATURES
 
 
@@ -81,28 +81,10 @@ def prepare_data(results: dict, state_scaler, cfg: UnsupervisedConfig,
 def make_closed_loop_val(in_sc, u_sc, *, n_traj: int = 8, t_traj: int = 300,
                          dtype=jnp.float32, seed: int = 0,
                          variant: str = "smooth"):
-    """Jitted true-plant validation rollout: params -> tracking MAE.
-
-    Rolls the candidate controller in closed loop against the RK4 plant on
-    counter-based validation reference streams (distinct from the
-    CPython-exact evaluation streams, so model selection never sees the
-    test references).  One batched scan — milliseconds per call — which is
-    what makes closed-loop model selection affordable here when it was not
-    for the reference (CVODES rollouts cost minutes per candidate)."""
-    loop_cfg = cl.LoopConfig(t_steps=t_traj, variant=variant)
-    refs = streams.sample_references(
-        jax.random.PRNGKey(seed + 9000), n_traj, "unsupervised", t_traj,
-        dtype=dtype)
-    x0 = jnp.tile(jnp.asarray(cl.press.X0_REFERENCE, dtype), (n_traj, 1))
-    key = jax.random.PRNGKey(seed + 9001)
-
-    @jax.jit
-    def val(params):
-        ctrl = cl.FunctionController(fnn.make_policy(params, in_sc, u_sc))
-        _, telem = cl.run_batch(loop_cfg, ctrl, x0, refs, key)
-        return metrics.mae(telem.ref, telem.x[..., 1])
-
-    return val
+    """True-plant validation rollout (see nn/train.make_closed_loop_val)."""
+    return train.make_closed_loop_val(
+        in_sc, u_sc, n_traj=n_traj, t_traj=t_traj, dtype=dtype, seed=seed,
+        variant=variant, ref_variant="unsupervised")
 
 
 def run(results: dict, surrogate_params, state_scaler,
@@ -119,19 +101,36 @@ def run(results: dict, surrogate_params, state_scaler,
             cl_val_fn = make_closed_loop_val(
                 in_sc, u_sc, n_traj=cfg.closed_loop_val_traj,
                 t_traj=t_traj, dtype=dtype, seed=seed)
-        if cfg.train_mode == "plant":
-            params, rep = train.train_plant_in_loop(
-                params, in_sc, u_sc, t_steps=t_traj,
-                n_traj=cfg.plant_n_traj, steps=cfg.plant_steps,
-                lr=cfg.plant_lr, rterm=0.02, seed=seed,
-                closed_loop_val_fn=cl_val_fn)
-        else:
-            params, rep = train.train_unsupervised(
-                params, surrogate_params, xtr, utr, ztr, xva, uva,
+
+        def train_one(s):
+            p0, _ = fnn.init(jax.random.PRNGKey(s), dtype=dtype)
+            if cfg.train_mode == "plant":
+                return train.train_plant_in_loop(
+                    p0, in_sc, u_sc, t_steps=t_traj,
+                    n_traj=cfg.plant_n_traj, steps=cfg.plant_steps,
+                    lr=cfg.plant_lr, rterm=0.02, seed=s,
+                    process_std=(PROCESS_STD if cfg.flags.enable_noise
+                                 else (0.0,) * 5),
+                    closed_loop_val_fn=cl_val_fn)
+            return train.train_unsupervised(
+                p0, surrogate_params, xtr, utr, ztr, xva, uva,
                 horizon=cfg.horizon, alpha=cfg.alpha, lr=cfg.lr,
                 epochs=cfg.epochs, batch_size=max(cfg.batch_size, 1),
-                enable_noise=cfg.flags.enable_noise, seed=seed,
+                enable_noise=cfg.flags.enable_noise, seed=s,
                 closed_loop_val_fn=cl_val_fn)
+
+        # Multi-seed selection by true-plant closed-loop val MAE (the
+        # reference's 10 "sim" replicas; see UnsupervisedConfig.n_seeds).
+        best = None
+        for k in range(max(1, cfg.n_seeds)):
+            s = seed + 1000 * k
+            p_k, rep_k = train_one(s)
+            score = (float(cl_val_fn(p_k)) if cl_val_fn is not None
+                     and cfg.n_seeds > 1 else 0.0)
+            if best is None or score < best[0]:
+                best = (score, s, p_k, rep_k)
+        _, sel_seed, params, rep = best
+        rep.selected_seed = sel_seed
     else:
         rep = train.TrainReport()
 
@@ -151,7 +150,9 @@ def run(results: dict, surrogate_params, state_scaler,
         policy = feasibility.make_recovering_policy(
             policy, feasibility.FeasibilityConfig())
     ctrl = cl.FunctionController(policy)
-    loop_cfg = cl.LoopConfig(t_steps=t_traj, variant="smooth")
+    loop_cfg = cl.LoopConfig(
+        t_steps=t_traj, variant="smooth",
+        process_std=PROCESS_STD if cfg.flags.enable_noise else (0.0,) * 5)
     refs = jnp.asarray(streams.reference_table(n_traj_eval, "unsupervised",
                                                t_traj), dtype)
     x0 = jnp.tile(jnp.asarray(cl.press.X0_REFERENCE, dtype), (n_traj_eval, 1))

@@ -45,7 +45,7 @@ import jax
 import jax.numpy as jnp
 
 from ..integrate.rk4 import rk4_step
-from ..ops.smallchol import chol_solve
+from ..ops.smallchol import chol_solve, chol_solve_pallas
 from ..physics import press
 from ..physics.scaling import U_SCALE
 
@@ -80,6 +80,10 @@ class MPCConfig:
     tol_grad: float = 1e-7           # dual-infeasibility stop (scaled units)
     lm_reg: float = 1e-8             # base Levenberg damping
     step_ladder: tuple = (1.0, 0.25)
+    # lax.scan unroll factor for the horizon rollout (True = full unroll).
+    # Trades compile time for fewer sequential scan dispatches; measured on
+    # TPU via /tmp bench sweeps before changing the default.
+    scan_unroll: int | bool = 1
 
     @property
     def n_con(self) -> int:
@@ -169,7 +173,7 @@ def _rollout(cfg: MPCConfig, x0, v):
         x_next = rk4_step(f, x, vk * U_SCALE, cfg.dt, cfg.substeps)
         return x_next, x_next
 
-    _, xs = jax.lax.scan(step, x0, v)
+    _, xs = jax.lax.scan(step, x0, v, unroll=cfg.scan_unroll)
     return xs  # (N, 5)
 
 
@@ -302,3 +306,124 @@ def solve(cfg: MPCConfig, x0, ref, u_prev, state: SolverState):
     )
     u0 = v[0] * U_SCALE
     return u0, SolverState(v=v, lam=lam), diag
+
+
+def solve_batch(cfg: MPCConfig, x0, ref, u_prev, state: SolverState, *,
+                linsolve: str = "unrolled"):
+    """Explicitly batched MPC solve — B scenarios in one program.
+
+    Semantically equivalent to ``jax.vmap(solve)`` (pinned by
+    tests/test_solver.py) but with the per-iteration linear algebra hoisted
+    to the batch level: the gradient/normal-matrix contractions become
+    (B, N, n_res) batched matmuls on the MXU, and the (B, 3, N, N) damped
+    normal solves run as one fused kernel — either the unrolled
+    elementwise Cholesky (``linsolve="unrolled"``) or the Pallas
+    lane-batched TPU kernel (``linsolve="pallas"``,
+    ops/smallchol.chol_solve_pallas).  This is the ROADMAP "hoist the
+    batch axis to the kernel level" path.
+
+    Args:
+      x0: (B, 5) measured states; ref/u_prev: (B,); state: batched
+        SolverState (v (B, N), lam (B, n_con)).
+    Returns (u0 (B,), SolverState, Diagnostics) with leading batch axes.
+    """
+    dtype = state.v.dtype
+    B, N = state.v.shape
+    x0 = x0.astype(dtype)
+    ref = jnp.asarray(ref, dtype)
+    u_prev_s = jnp.asarray(u_prev, dtype) / U_SCALE
+    eye = jnp.eye(N, dtype=dtype)
+
+    def res_single(x0_i, ref_i, up_i, lam_i, mu, v_i):
+        return _residuals(cfg, x0_i, ref_i, up_i, lam_i, mu, v_i)[0]
+
+    def res_and_jac(x0_i, ref_i, up_i, lam_i, mu, v_i):
+        r, jvp = jax.linearize(
+            lambda vv: res_single(x0_i, ref_i, up_i, lam_i, mu, vv), v_i)
+        Jt = jax.vmap(jvp)(eye)  # (N, n_res)
+        return r, Jt
+
+    batched_rj = jax.vmap(res_and_jac, in_axes=(0, 0, 0, 0, None, 0))
+    batched_res = jax.vmap(res_single, in_axes=(0, 0, 0, 0, None, 0))
+    # candidate axis rides a second vmap (only v varies along it)
+    cand_res = jax.vmap(batched_res, in_axes=(None, None, None, None, None, 1),
+                        out_axes=1)
+    batched_rollout = jax.vmap(lambda xi, vi: _rollout(cfg, xi, vi))
+
+    if linsolve == "pallas":
+        interpret = jax.default_backend() != "tpu"  # CPU tests: interpreter
+
+        def lin(Hs, gs):
+            x = chol_solve_pallas(Hs.reshape(-1, N, N), gs.reshape(-1, N),
+                                  interpret=interpret)
+            return x.reshape(B, 3, N)
+    elif linsolve == "unrolled":
+        lin = chol_solve
+    else:
+        raise ValueError(f"unknown linsolve {linsolve!r}")
+
+    n_lad = len(cfg.step_ladder)
+    alphas = jnp.asarray(list(cfg.step_ladder) + [1.0, 1.0], dtype)
+    regs = jnp.asarray([cfg.lm_reg, cfg.lm_reg + 1e-2, cfg.lm_reg + 1.0],
+                       dtype)
+    bidx = jnp.arange(B)
+
+    def gn_round(carry, _):
+        v, lam, mu, it_used, d_norm, inf_du, alpha_last = carry
+        r, Jt = batched_rj(x0, ref, u_prev_s, lam, mu, v)
+        g = jnp.einsum("bnr,br->bn", Jt, r)
+        H = jnp.einsum("bnr,bmr->bnm", Jt, Jt)
+
+        cost0 = 0.5 * jnp.sum(r * r, axis=-1)
+        gnorm = jnp.max(jnp.abs(g), axis=-1)
+        converged = gnorm < cfg.tol_grad
+
+        Hs = H[:, None] + regs[None, :, None, None] * eye
+        dvs = -lin(Hs, jnp.broadcast_to(g[:, None, :], (B, 3, N)))
+
+        dirs = jnp.concatenate(
+            [jnp.broadcast_to(dvs[:, :1], (B, n_lad, N)), dvs[:, 1:]], axis=1)
+        vs = v[:, None, :] + alphas[None, :, None] * dirs
+        r_try = cand_res(x0, ref, u_prev_s, lam, mu, vs)
+        costs = 0.5 * jnp.sum(r_try * r_try, axis=-1)      # (B, C)
+        dns = jnp.linalg.norm(alphas[None, :, None] * dirs, axis=-1)
+        best = jnp.argmin(costs, axis=1)
+        take = jnp.logical_and(costs[bidx, best] < cost0,
+                               jnp.logical_not(converged))
+
+        v_new = jnp.where(take[:, None], vs[bidx, best], v)
+        d_new = jnp.where(take, dns[bidx, best], 0.0)
+        a_new = jnp.where(take, alphas[best], alpha_last)
+        it_new = it_used + jnp.where(converged, 0, 1)
+        return (v_new, lam, mu, it_new, d_new, gnorm, a_new), None
+
+    def al_round(carry, _):
+        carry, _ = jax.lax.scan(gn_round, carry, None, length=cfg.gn_iters)
+        v, lam, mu, it_used, d_norm, inf_du, alpha_last = carry
+        c = jax.vmap(lambda xs: _constraints(cfg, xs))(batched_rollout(x0, v))
+        lam_new = jnp.maximum(lam - mu * c, 0.0)
+        return (v, lam_new, mu * cfg.mu_factor, it_used, d_norm, inf_du,
+                alpha_last), None
+
+    zb = jnp.zeros((B,), dtype)
+    init = (state.v, state.lam, jnp.asarray(cfg.mu0, dtype),
+            jnp.zeros((B,), jnp.int32), zb, zb, zb)
+    (v, lam, mu, iters, d_norm, inf_du, alpha), _ = jax.lax.scan(
+        al_round, init, None, length=cfg.al_iters)
+
+    xs = batched_rollout(x0, v)
+    c = jax.vmap(lambda x: _constraints(cfg, x))(xs)
+    r_track = xs[:, :, 1] - ref[:, None]
+    dv = jnp.diff(jnp.concatenate([u_prev_s[:, None], v], axis=1), axis=1)
+    obj = jnp.sum(r_track**2, axis=-1) + cfg.rterm * jnp.sum(dv**2, axis=-1)
+    diag = Diagnostics(
+        iters=iters,
+        obj=obj,
+        inf_pr=jnp.maximum(jnp.max(-c, axis=-1), 0.0),
+        inf_du=inf_du,
+        reg=jnp.full((B,), cfg.lm_reg, dtype),
+        d_norm=d_norm,
+        mu=jnp.full((B,), mu, dtype),
+        alpha=alpha,
+    )
+    return v[:, 0] * U_SCALE, SolverState(v=v, lam=lam), diag

@@ -12,9 +12,16 @@ our own trained controllers is attributable to training, not simulation.
 Recorded baselines (no noise): supervised NN MAE 0.053904, unsupervised
 NN MAE 0.070924 (Tables/Normal/NN_results_N_10.csv).
 
-Usage: JAX_PLATFORMS=cpu python scripts/reference_weights_eval.py
+Usage: JAX_PLATFORMS=cpu python scripts/reference_weights_eval.py [--noise]
+
+--noise rolls the shipped controllers under the dataset-generation process
+noise (Generate Data/Main.py:49-58) with the SAME loop engine and PRNG key
+(PRNGKey(1)) the repro pipelines use for their closed-loop NN evals, so
+the resulting MAEs are directly comparable to results_repro/summary.json:
+identical noise realization, only the controller differs.
 """
 
+import argparse
 import json
 import os
 import pickle
@@ -49,9 +56,14 @@ def load_fnn_state(path):
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--noise", action="store_true")
+    args = ap.parse_args()
+
     from forging_control_tpu.eval import metrics
     from forging_control_tpu.loop import closed_loop as cl
     from forging_control_tpu.nn import fnn, scalers
+    from forging_control_tpu.pipelines.config import PROCESS_STD
     from forging_control_tpu.refgen import streams
 
     with open(f"{REF}/Supervised Learning/results/scaler_input.pkl", "rb") as f:
@@ -68,8 +80,14 @@ def main():
         jnp.zeros(3), jnp.asarray([in_scale[0], in_scale[1], in_scale[0]]))
     out_sc = scalers.Scaler(jnp.zeros(1), jnp.asarray(out_scale))
 
-    loop_cfg = cl.LoopConfig(t_steps=300, variant="smooth")
-    out = {"scaler_max_abs": {"input": in_scale.tolist(),
+    loop_cfg = cl.LoopConfig(
+        t_steps=300, variant="smooth",
+        process_std=PROCESS_STD if args.noise else (0.0,) * 5)
+    # PRNGKey(1) = the repro pipelines' eval key (seed 0 + 1), so --noise
+    # reproduces their exact noise realization.
+    eval_key = jax.random.PRNGKey(1 if args.noise else 0)
+    out = {"noise": args.noise,
+           "scaler_max_abs": {"input": in_scale.tolist(),
                               "output": out_scale.tolist()}}
 
     def run_policy(params, in_sc, ref_variant):
@@ -79,7 +97,7 @@ def main():
         x0 = jnp.tile(cl.default_x0(), (2, 1))
         _, telem = jax.jit(
             lambda x, r, k: cl.run_batch(loop_cfg, ctrl, x, r, k))(
-                x0, refs, jax.random.PRNGKey(0))
+                x0, refs, eval_key)
         ref = np.asarray(telem.ref).ravel()
         y_dot = np.asarray(telem.x[..., 1]).ravel()
         m = {k: float(v) for k, v in
@@ -88,11 +106,15 @@ def main():
         m["Command"] = float(np.abs(np.asarray(telem.u)).mean())
         return m, np.asarray(telem.u)
 
+    # Recorded closed-loop MAEs from Tables/Normal/NN_results_N_10*.csv
+    # (their own noise realization for the _noise variants).
+    rec_sup = 0.058627 if args.noise else 0.053904
+    rec_uns = 0.055926 if args.noise else 0.070924
     for name, d, in_sc, rv, recorded in [
             ("supervised", f"{REF}/Supervised Learning/results", sup_in,
-             "supervised", 0.053904),
+             "supervised", rec_sup),
             ("unsupervised", f"{REF}/Unsupervised Learning/results", uns_in,
-             "unsupervised", 0.070924)]:
+             "unsupervised", rec_uns)]:
         maes = []
         for sim in range(10):
             p = os.path.join(d, f"NN_controller_N_10_{sim}.pt")

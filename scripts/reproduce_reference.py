@@ -14,6 +14,12 @@ artifacts under results_repro/:
 
 Usage: python scripts/reproduce_reference.py [--out results_repro]
        [--horizon 10] [--noise] [--epochs-scale 1.0]
+       [--stages generate,supervised,surrogate,unsupervised]
+       [--unsup-mode surrogate|plant|both]
+
+Stages are resumable: each persists its artifacts under --out (dataset
+.npz, surrogate params checkpoint), and summary.json is merged, so a
+later stage can be rerun alone against the stored artifacts.
 """
 
 import argparse
@@ -24,6 +30,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+ALL_STAGES = ("generate", "supervised", "surrogate", "unsupervised")
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -32,74 +40,131 @@ def main():
     ap.add_argument("--noise", action="store_true")
     ap.add_argument("--epochs-scale", type=float, default=1.0)
     ap.add_argument("--n-traj", type=int, default=80)
+    ap.add_argument("--stages", default=",".join(ALL_STAGES))
+    ap.add_argument("--unsup-mode", default="both",
+                    choices=["surrogate", "plant", "both"],
+                    help="'surrogate' = reference protocol (MPC-loss through"
+                         " the frozen LSTM); 'plant' = analytic policy"
+                         " gradients through the true RK4 plant")
+    ap.add_argument("--seeds", type=int, default=1,
+                    help="training replicas per learned controller; best"
+                         " selected by closed-loop validation MAE")
+    ap.add_argument("--preset", default="default",
+                    choices=["default", "fast", "ipopt_compat"],
+                    help="MPC solver preset for teacher-data generation and"
+                         " the supervised baseline (ipopt_compat reproduces"
+                         " the recorded IPOPT's transient behavior)")
     args = ap.parse_args()
+    stages = [s.strip() for s in args.stages.split(",") if s.strip()]
+    unknown = set(stages) - set(ALL_STAGES)
+    if unknown:
+        ap.error(f"unknown stages: {sorted(unknown)}")
+
+    import dataclasses
 
     import jax
     import jax.numpy as jnp
 
+    from forging_control_tpu.nn import lstm, scalers
     from forging_control_tpu.pipelines import (config, generate_data,
                                                supervised, surrogate,
                                                unsupervised)
-    from forging_control_tpu.eval import report
+    from forging_control_tpu.utils import checkpoint
 
     os.makedirs(args.out, exist_ok=True)
+    summary_path = os.path.join(args.out, "summary.json")
     summary = {}
+    if os.path.exists(summary_path):
+        with open(summary_path) as f:
+            summary = json.load(f)
     flags = config.Flags(enable_noise=args.noise)
+    surrogate_ckpt = os.path.join(args.out, "surrogate_params.npz")
+    ds_path = generate_data.dataset_path(args.out, args.horizon)
 
     def save_json(name, obj):
         with open(os.path.join(args.out, name), "w") as f:
             json.dump(obj, f, indent=2, default=float)
 
     # 1. dataset generation ------------------------------------------------
-    t0 = time.time()
-    gcfg = config.GenerateConfig(
-        n_traj=args.n_traj, t_traj=300, horizon=args.horizon,
-        variant_model="smooth", ref_variant="supervised", flags=flags)
-    telem, results = generate_data.run(gcfg, seed=0)
-    gen_s = time.time() - t0
-    generate_data.save(results, generate_data.dataset_path(args.out, args.horizon))
-    summary["generate"] = {**generate_data.summarize(results),
-                           "wall_s": gen_s,
-                           "solves": args.n_traj * 300}
-    print(json.dumps({"stage": "generate", **summary["generate"]}), flush=True)
+    if "generate" in stages:
+        t0 = time.time()
+        gcfg = config.GenerateConfig(
+            n_traj=args.n_traj, t_traj=300, horizon=args.horizon,
+            variant_model="smooth", ref_variant="supervised", flags=flags,
+            solver_preset=args.preset)
+        telem, results = generate_data.run(gcfg, seed=0)
+        gen_s = time.time() - t0
+        generate_data.save(results, ds_path)
+        summary["generate"] = {**generate_data.summarize(results),
+                               "wall_s": gen_s,
+                               "solves": args.n_traj * 300}
+        save_json("summary.json", summary)
+        print(json.dumps({"stage": "generate", **summary["generate"]}),
+              flush=True)
+    else:
+        results = generate_data.load(ds_path)
 
     # 2. supervised --------------------------------------------------------
-    scfg = config.SupervisedConfig(
-        horizon=args.horizon, epochs=max(1, int(20 * args.epochs_scale)),
-        flags=flags)
-    s_art = supervised.run(results, scfg, seed=0, closed_loop_eval=True,
-                           out_dir=args.out)
-    summary["supervised"] = {"test": s_art.test_metrics,
-                             "mpc": s_art.mpc_metrics,
-                             "nn": s_art.nn_metrics}
-    print(json.dumps({"stage": "supervised", **summary["supervised"]}),
-          flush=True)
+    if "supervised" in stages:
+        scfg = config.SupervisedConfig(
+            horizon=args.horizon, epochs=max(1, int(20 * args.epochs_scale)),
+            flags=flags, solver_preset=args.preset, n_seeds=args.seeds)
+        s_art = supervised.run(results, scfg, seed=0, closed_loop_eval=True,
+                               out_dir=args.out)
+        summary["supervised"] = {"test": s_art.test_metrics,
+                                 "mpc": s_art.mpc_metrics,
+                                 "nn": s_art.nn_metrics}
+        save_json("summary.json", summary)
+        print(json.dumps({"stage": "supervised", **summary["supervised"]}),
+              flush=True)
 
     # 3. surrogate ---------------------------------------------------------
-    gcfg_list = [results]
     ucfg_s = config.SurrogateConfig(
         epochs=max(1, int(50 * args.epochs_scale)), flags=flags)
-    g_art = surrogate.run(gcfg_list, ucfg_s, seed=0, eval_results=results)
-    summary["surrogate"] = {"test": g_art.test_metrics,
-                            "closed_loop": g_art.closed_loop_metrics}
-    print(json.dumps({"stage": "surrogate", **summary["surrogate"]}),
-          flush=True)
+    if "surrogate" in stages:
+        g_art = surrogate.run([results], ucfg_s, seed=0, eval_results=results)
+        summary["surrogate"] = {"test": g_art.test_metrics,
+                                "closed_loop": g_art.closed_loop_metrics}
+        checkpoint.save(surrogate_ckpt,
+                        {"params": g_art.params,
+                         "scaler": (g_art.state_scaler.shift,
+                                    g_art.state_scaler.scale)})
+        save_json("summary.json", summary)
+        print(json.dumps({"stage": "surrogate", **summary["surrogate"]}),
+              flush=True)
+        surrogate_params, state_scaler = g_art.params, g_art.state_scaler
+    elif "unsupervised" in stages:
+        like_params = lstm.init(jax.random.PRNGKey(0),
+                                hidden_dim=ucfg_s.hidden_dim,
+                                num_layers=ucfg_s.num_layers)
+        like_sc = (jnp.zeros((5,)), jnp.ones((5,)))
+        loaded = checkpoint.load(surrogate_ckpt,
+                                 {"params": like_params, "scaler": like_sc})
+        surrogate_params = loaded["params"]
+        state_scaler = scalers.Scaler(shift=loaded["scaler"][0],
+                                      scale=loaded["scaler"][1])
 
     # 4. unsupervised ------------------------------------------------------
-    # 60 epochs: the MPC-loss optimization plateaus later than the
-    # reference's 20 under our init/seed (test MAE 0.044 -> 0.027).
-    ucfg = config.UnsupervisedConfig(
-        horizon=args.horizon, epochs=max(1, int(60 * args.epochs_scale)),
-        flags=flags)
-    u_art = unsupervised.run(results, g_art.params, g_art.state_scaler, ucfg,
-                             seed=0, closed_loop_eval=True)
-    summary["unsupervised"] = {"test": u_art.test_metrics,
-                               "nn": u_art.nn_metrics,
-                               "surrogate_drift": u_art.surrogate_drift}
-    print(json.dumps({"stage": "unsupervised", **summary["unsupervised"]}),
-          flush=True)
+    if "unsupervised" in stages:
+        # 60 epochs: the MPC-loss optimization plateaus later than the
+        # reference's 20 under our init/seed (test MAE 0.044 -> 0.027).
+        ucfg = config.UnsupervisedConfig(
+            horizon=args.horizon, epochs=max(1, int(60 * args.epochs_scale)),
+            flags=flags, n_seeds=args.seeds)
+        modes = {"surrogate": ["surrogate"], "plant": ["plant"],
+                 "both": ["surrogate", "plant"]}[args.unsup_mode]
+        for mode in modes:
+            u_art = unsupervised.run(
+                results, surrogate_params, state_scaler,
+                dataclasses.replace(ucfg, train_mode=mode),
+                seed=0, closed_loop_eval=True)
+            key = "unsupervised" if mode == "surrogate" else "unsupervised_plant"
+            summary[key] = {"test": u_art.test_metrics,
+                            "nn": u_art.nn_metrics,
+                            "surrogate_drift": u_art.surrogate_drift}
+            save_json("summary.json", summary)
+            print(json.dumps({"stage": key, **summary[key]}), flush=True)
 
-    save_json("summary.json", summary)
     print(json.dumps({"stage": "done", "out": args.out}), flush=True)
 
 

@@ -133,3 +133,28 @@ def test_ipopt_compat_closed_loop_bit_parity(golden_mpc_rows):
     assert abs(np.abs(y_dot - ref).mean() - golden_mae) < 1e-3
     u_dev = np.abs(np.array(telem.u).ravel() - golden_mpc_rows[:, 7])
     assert u_dev.mean() < 5e-4
+
+
+def test_fused_batch_matches_vmap_path():
+    """run_batch's fused explicit-batch body (MPCController.linsolve set)
+    reproduces the vmap path exactly: same per-trajectory RNG streams,
+    same solves, to float64 tolerance — with process noise on."""
+    loop_cfg = cl.LoopConfig(t_steps=20, variant="smooth",
+                             process_std=(5e-1, 2e0, 5e7, 5e7, 2e0))
+    cfg = sqp.MPCConfig(horizon=5, variant="smooth", gn_iters=4, al_iters=1)
+    refs = jnp.array(streams.reference_table(3, "supervised")[:, :20])
+    x0 = jnp.tile(cl.default_x0(), (3, 1))
+    key = jax.random.PRNGKey(7)
+
+    _, t_vmap = jax.jit(lambda x, r, k: cl.run_batch(
+        loop_cfg, cl.MPCController(cfg), x, r, k))(x0, refs, key)
+    _, t_fused = jax.jit(lambda x, r, k: cl.run_batch(
+        loop_cfg, cl.MPCController(cfg, linsolve="unrolled"), x, r, k))(
+        x0, refs, key)
+
+    np.testing.assert_allclose(np.array(t_fused.u), np.array(t_vmap.u),
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.array(t_fused.x), np.array(t_vmap.x),
+                               rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(np.array(t_fused.w), np.array(t_vmap.w),
+                               rtol=0, atol=0)

@@ -129,3 +129,35 @@ def test_float32_solve():
     u64, _, _ = sqp.solve(CFG, jnp.asarray(press.X0_REFERENCE, jnp.float64),
                           0.578157, 0.0, st64)
     assert abs(float(u32) - float(u64)) < 5e-3 * max(1.0, abs(float(u64)) / U_SCALE)
+
+
+@pytest.mark.parametrize("linsolve", ["unrolled", "pallas"])
+def test_solve_batch_matches_vmap(golden_mpc_rows, linsolve):
+    """The explicit-batch solver (batch-level linear algebra, optionally the
+    Pallas lane-batched Cholesky) is semantically vmap(solve)."""
+    rows = golden_mpc_rows[40:44]
+    xs = jnp.array(rows[:, 2:7])
+    refs = jnp.array(rows[:, 1])
+    ups = jnp.array(rows[:, 7])
+    cfg = sqp.MPCConfig(horizon=10, variant="smooth")
+
+    st1 = jax.vmap(lambda _: sqp.init_state(cfg, jnp.float64))(jnp.arange(4))
+    u_b, st_b, d_b = jax.jit(
+        lambda x, r, up, s: sqp.solve_batch(cfg, x, r, up, s,
+                                            linsolve=linsolve))(
+        xs, refs, ups, st1)
+
+    def one(x, r, up):
+        u, s, d = sqp.solve(cfg, x, r, up, sqp.init_state(cfg, jnp.float64))
+        return u, s, d
+    u_v, st_v, d_v = jax.jit(jax.vmap(one))(xs, refs, ups)
+
+    np.testing.assert_allclose(np.array(u_b), np.array(u_v),
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.array(st_b.v), np.array(st_v.v),
+                               rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(np.array(d_b.obj), np.array(d_v.obj),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.array(d_b.inf_pr), np.array(d_v.inf_pr),
+                               rtol=1e-7, atol=1e-12)
+    np.testing.assert_array_equal(np.array(d_b.iters), np.array(d_v.iters))
