@@ -84,3 +84,17 @@ def test_flags_disable_training(small_dataset):
         flags=config.Flags(enable_training=False))
     art = supervised.run(results, cfg, closed_loop_eval=False)
     assert art.train_report.train_losses == []
+
+
+def test_supervised_multi_seed_selection(small_dataset):
+    """n_seeds > 1 trains replicas and returns the one with the best
+    true-plant closed-loop validation MAE (the reference's "sim" replica
+    protocol with principled selection)."""
+    _, _, results = small_dataset
+    cfg = config.SupervisedConfig(
+        horizon=5, n_traj_eval=1, t_traj=30, epochs=2, batch_size=32,
+        n_seeds=2)
+    art = supervised.run(results, cfg, seed=0, closed_loop_eval=False,
+                         dtype=jnp.float64)
+    assert art.train_report.selected_seed in (0, 1000)
+    assert np.isfinite(art.test_metrics["MAE"])
