@@ -49,7 +49,8 @@ def make_closed_loop_val(in_scaler, u_scaler, *, n_traj: int = 8,
                          t_traj: int = 300, dtype=jnp.float32, seed: int = 0,
                          variant: str = "smooth",
                          ref_variant: str = "unsupervised",
-                         width_dim: int = 1):
+                         width_dim: int = 1,
+                         process_std: tuple = (0.0,) * 5):
     """Jitted true-plant validation rollout: params -> tracking MAE.
 
     Rolls a candidate FNN controller in closed loop against the RK4 plant
@@ -59,12 +60,19 @@ def make_closed_loop_val(in_scaler, u_scaler, *, n_traj: int = 8,
     what makes closed-loop model selection affordable here when it was not
     for the reference (CVODES rollouts cost minutes per candidate).
     Used both for per-epoch checkpoint selection and for multi-seed
-    selection (the reference's "sim" replicas, Supervised Learning/Main.py)."""
+    selection (the reference's "sim" replicas, Supervised Learning/Main.py).
+
+    ``process_std`` injects plant process noise into the validation
+    rollouts.  When the deployment protocol is noisy, selecting on
+    noise-free rollouts mismatches the objective (a policy tuned hard to
+    the clean plant can rank above a more robust one); pass the deployment
+    noise so model selection optimizes what evaluation measures."""
     from ..eval import metrics
     from ..loop import closed_loop as cl
     from ..refgen import streams
 
-    loop_cfg = cl.LoopConfig(t_steps=t_traj, variant=variant)
+    loop_cfg = cl.LoopConfig(t_steps=t_traj, variant=variant,
+                             process_std=process_std)
     refs = streams.sample_references(
         jax.random.PRNGKey(seed + 9000), n_traj, ref_variant, t_traj,
         dtype=dtype)

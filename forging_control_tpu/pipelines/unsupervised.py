@@ -80,11 +80,12 @@ def prepare_data(results: dict, state_scaler, cfg: UnsupervisedConfig,
 
 def make_closed_loop_val(in_sc, u_sc, *, n_traj: int = 8, t_traj: int = 300,
                          dtype=jnp.float32, seed: int = 0,
-                         variant: str = "smooth"):
+                         variant: str = "smooth",
+                         process_std: tuple = (0.0,) * 5):
     """True-plant validation rollout (see nn/train.make_closed_loop_val)."""
     return train.make_closed_loop_val(
         in_sc, u_sc, n_traj=n_traj, t_traj=t_traj, dtype=dtype, seed=seed,
-        variant=variant, ref_variant="unsupervised")
+        variant=variant, ref_variant="unsupervised", process_std=process_std)
 
 
 def run(results: dict, surrogate_params, state_scaler,
@@ -98,9 +99,13 @@ def run(results: dict, surrogate_params, state_scaler,
     if cfg.flags.enable_training:
         cl_val_fn = None
         if cfg.closed_loop_val:
+            # Validate under the deployment noise protocol: selection on
+            # clean rollouts misranks policies when evaluation is noisy.
             cl_val_fn = make_closed_loop_val(
                 in_sc, u_sc, n_traj=cfg.closed_loop_val_traj,
-                t_traj=t_traj, dtype=dtype, seed=seed)
+                t_traj=t_traj, dtype=dtype, seed=seed,
+                process_std=(PROCESS_STD if cfg.flags.enable_noise
+                             else (0.0,) * 5))
 
         def train_one(s):
             p0, _ = fnn.init(jax.random.PRNGKey(s), dtype=dtype)

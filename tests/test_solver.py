@@ -1,5 +1,7 @@
 """SQP solver tests: IPOPT golden parity, constraint handling, diagnostics."""
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -161,3 +163,16 @@ def test_solve_batch_matches_vmap(golden_mpc_rows, linsolve):
     np.testing.assert_allclose(np.array(d_b.inf_pr), np.array(d_v.inf_pr),
                                rtol=1e-7, atol=1e-12)
     np.testing.assert_array_equal(np.array(d_b.iters), np.array(d_v.iters))
+
+
+def test_scan_unroll_equivalence():
+    """scan_unroll changes scheduling, not semantics: identical solves."""
+    x = jnp.array(press.X0_REFERENCE)
+    cfg1 = sqp.MPCConfig(horizon=10, variant="smooth")
+    cfg2 = dataclasses.replace(cfg1, scan_unroll=True)
+    st = sqp.init_state(cfg1, jnp.float64)
+    u1, s1, _ = jax.jit(lambda: sqp.solve(cfg1, x, 0.578157, 0.0, st))()
+    u2, s2, _ = jax.jit(lambda: sqp.solve(cfg2, x, 0.578157, 0.0, st))()
+    np.testing.assert_allclose(float(u1), float(u2), rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(np.array(s1.v), np.array(s2.v),
+                               rtol=1e-11, atol=1e-13)
