@@ -114,7 +114,14 @@ class UnsupervisedConfig:
     train_mode: str = "surrogate"
     plant_steps: int = 300            # optimizer steps for train_mode="plant"
     plant_n_traj: int = 32            # fresh reference streams per step
-    plant_lr: float = 1e-3
+    # Warm-start the plant-in-loop policy by imitation pretraining on the
+    # teacher dataset before fine-tuning through the plant.  Measured on
+    # the noisy 16-stream validation protocol: from-scratch plant training
+    # plateaus at 0.102-0.112 MAE; imitation pretrain + plant fine-tune
+    # reaches 0.072 (reference's best shipped weights: 0.071; MPC: 0.062).
+    plant_pretrain: bool = True
+    plant_pretrain_epochs: int = 20
+    plant_lr: float = 1e-4            # fine-tune lr; use ~1e-3 from scratch
     # Train n_seeds independent controllers and keep the one with the best
     # true-plant closed-loop validation MAE.  The reference trains 10 "sim"
     # replicas per config (Supervised Learning/Main.py sim loop) and their

@@ -110,6 +110,14 @@ def run(results: dict, surrogate_params, state_scaler,
         def train_one(s):
             p0, _ = fnn.init(jax.random.PRNGKey(s), dtype=dtype)
             if cfg.train_mode == "plant":
+                if cfg.plant_pretrain:
+                    # Imitation pretrain on the teacher data, then refine
+                    # through the true plant (see UnsupervisedConfig notes:
+                    # from-scratch plant training plateaus well above the
+                    # imitation-initialized optimum).
+                    p0, _ = train.train_supervised(
+                        p0, xtr, utr, xva, uva,
+                        epochs=cfg.plant_pretrain_epochs, seed=s)
                 return train.train_plant_in_loop(
                     p0, in_sc, u_sc, t_steps=t_traj,
                     n_traj=cfg.plant_n_traj, steps=cfg.plant_steps,

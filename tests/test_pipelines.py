@@ -77,6 +77,25 @@ def test_unsupervised_pipeline(small_dataset):
     assert all(np.isfinite(v) for v in art.train_report.cl_val_losses)
 
 
+def test_unsupervised_plant_mode_with_pretrain(small_dataset):
+    """train_mode="plant" imitation-pretrains then fine-tunes through the
+    true plant; selection runs on the noise-matched validation rollout."""
+    _, _, results = small_dataset
+    s_cfg = config.SurrogateConfig(epochs=1, batch_size=32)
+    s_art = surrogate.run([results], s_cfg, seed=0)
+    u_cfg = config.UnsupervisedConfig(
+        horizon=5, train_mode="plant", plant_steps=3, plant_n_traj=2,
+        plant_pretrain=True, plant_pretrain_epochs=2,
+        closed_loop_val_traj=2, flags=config.Flags(enable_noise=True))
+    art = unsupervised.run(results, s_art.params, s_art.state_scaler, u_cfg,
+                           seed=0, closed_loop_eval=True, t_traj=30,
+                           n_traj_eval=1)
+    assert np.isfinite(art.test_metrics["MAE"])
+    assert art.nn_metrics is not None and np.isfinite(art.nn_metrics["MAE"])
+    assert art.train_report.cl_val_losses  # selection rollouts ran
+    assert all(np.isfinite(v) for v in art.train_report.cl_val_losses)
+
+
 def test_flags_disable_training(small_dataset):
     _, _, results = small_dataset
     cfg = dataclasses.replace(
