@@ -80,10 +80,16 @@ class MPCConfig:
     tol_grad: float = 1e-7           # dual-infeasibility stop (scaled units)
     lm_reg: float = 1e-8             # base Levenberg damping
     step_ladder: tuple = (1.0, 0.25)
-    # lax.scan unroll factor for the horizon rollout (True = full unroll).
-    # Trades compile time for fewer sequential scan dispatches; measured on
-    # TPU via /tmp bench sweeps before changing the default.
-    scan_unroll: int | bool = 1
+    # lax.scan unroll factor for the horizon rollout (True = full unroll,
+    # None = auto).  Fully unrolling removes the sequential scan dispatches
+    # that dominate the per-iteration cost on TPU: measured 3.6x closed-loop
+    # throughput at N=10 (28k -> 100k solves/s at B=4096; fast preset 248k).
+    # Auto resolves to full unroll on TPU for horizon <= 12 and to a plain
+    # scan otherwise — at N=25 the unrolled program (25 stages x 4 RK4
+    # substeps through jacfwd and the candidate ladder) blows up XLA compile
+    # time, and on CPU (the f64 validation/test path) compile time dominates
+    # any dispatch savings.
+    scan_unroll: int | bool | None = None
 
     @property
     def n_con(self) -> int:
@@ -163,6 +169,15 @@ def shift_state(state: SolverState) -> SolverState:
     return SolverState(v=v, lam=state.lam)
 
 
+def _resolve_unroll(cfg: MPCConfig):
+    """Resolve scan_unroll=None to the measured-best value per backend."""
+    if cfg.scan_unroll is not None:
+        return cfg.scan_unroll
+    if jax.default_backend() == "tpu" and cfg.horizon <= 12:
+        return True
+    return 1
+
+
 def _rollout(cfg: MPCConfig, x0, v):
     """States x_1..x_N (physical units) for scaled inputs v."""
 
@@ -173,7 +188,7 @@ def _rollout(cfg: MPCConfig, x0, v):
         x_next = rk4_step(f, x, vk * U_SCALE, cfg.dt, cfg.substeps)
         return x_next, x_next
 
-    _, xs = jax.lax.scan(step, x0, v, unroll=cfg.scan_unroll)
+    _, xs = jax.lax.scan(step, x0, v, unroll=_resolve_unroll(cfg))
     return xs  # (N, 5)
 
 

@@ -1,1 +1,1 @@
-from . import checkpoint, profiling, timer  # noqa: F401
+from . import checkpoint, notify, profiling, timer  # noqa: F401

@@ -128,3 +128,15 @@ def test_html_dashboard(tmp_path):
     p2 = str(tmp_path / "Images/solver.html")
     html_dash.solver_dashboard_from_telemetry(telem, p2)
     assert "iterations" in open(p2).read()
+
+
+def test_notify(tmp_path):
+    """Completion notification (notifypy analog, Generate Data/Main.py:267-270):
+    logs the event and appends a JSON line to the events file."""
+    from forging_control_tpu.utils import notify
+    events = str(tmp_path / "events.jsonl")
+    ev = notify.notify("Experiment over", "closed loop done",
+                       events_file=events)
+    assert ev["title"] == "Experiment over"
+    rec = json.loads(open(events).read().strip())
+    assert rec["message"] == "closed loop done" and "ts" in rec
