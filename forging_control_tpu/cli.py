@@ -84,7 +84,8 @@ def cmd_supervised(args):
     from .pipelines import generate_data, supervised
     results = generate_data.load(args.data)
     cfg = pcfg.SupervisedConfig(
-        horizon=args.horizon, epochs=args.epochs, flags=_flags(args))
+        horizon=args.horizon, epochs=args.epochs, n_seeds=args.seeds,
+        flags=_flags(args))
     art = supervised.run(results, cfg, seed=args.seed,
                          closed_loop_eval=not args.no_eval,
                          out_dir=args.out)
@@ -118,7 +119,7 @@ def cmd_unsupervised(args):
     s_art = surrogate.run([results], s_cfg, seed=args.seed)
     cfg = pcfg.UnsupervisedConfig(horizon=args.horizon, epochs=args.epochs,
                                   train_mode=args.train_mode,
-                                  flags=_flags(args))
+                                  n_seeds=args.seeds, flags=_flags(args))
     art = unsupervised.run(results, s_art.params, s_art.state_scaler, cfg,
                            seed=args.seed, closed_loop_eval=not args.no_eval)
     log.info(json.dumps({"test": art.test_metrics, "nn": art.nn_metrics,
@@ -166,6 +167,8 @@ def main(argv=None):
     sv.add_argument("--feasibility", action="store_true")
     sv.add_argument("--no-training", action="store_true")
     sv.add_argument("--no-eval", action="store_true")
+    sv.add_argument("--seeds", type=int, default=1,
+                    help="training replicas; best by closed-loop val MAE")
     sv.set_defaults(fn=cmd_supervised)
 
     sg = sub.add_parser("surrogate", help="LSTM surrogate training")
@@ -188,6 +191,8 @@ def main(argv=None):
                          "gradients through the true differentiable plant")
     us.add_argument("--feasibility", action="store_true")
     us.add_argument("--no-eval", action="store_true")
+    us.add_argument("--seeds", type=int, default=1,
+                    help="training replicas; best by closed-loop val MAE")
     us.set_defaults(fn=cmd_unsupervised)
 
     args = p.parse_args(argv)

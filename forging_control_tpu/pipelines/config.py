@@ -105,7 +105,7 @@ class UnsupervisedConfig:
     # rollout costs minutes per candidate; ours costs milliseconds) —
     # guards against the controller exploiting surrogate error.
     closed_loop_val: bool = True
-    closed_loop_val_traj: int = 8
+    closed_loop_val_traj: int = 16   # noisy selection needs the wider panel
     # "surrogate": reference protocol — MPC-loss unrolled through the frozen
     # LSTM surrogate (Unsupervised Learning/Main.py:326-348).  "plant":
     # TPU-native alternative — analytic policy gradients through the true

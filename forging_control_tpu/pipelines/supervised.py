@@ -74,10 +74,15 @@ def run(results: dict, cfg: SupervisedConfig = SupervisedConfig(), *,
         # Supervised Learning/Main.py; see SupervisedConfig.n_seeds).
         cl_val_fn = None
         if cfg.n_seeds > 1:
+            # Noise-matched selection: when deployment evaluation is noisy,
+            # ranking candidates on clean rollouts misorders them (measured
+            # in the unsupervised pipeline; same protocol here).
             cl_val_fn = train.make_closed_loop_val(
-                in_sc, out_sc, n_traj=8, t_traj=cfg.t_traj, dtype=dtype,
+                in_sc, out_sc, n_traj=16, t_traj=cfg.t_traj, dtype=dtype,
                 seed=seed, ref_variant="supervised",
-                width_dim=cfg.width_dim)
+                width_dim=cfg.width_dim,
+                process_std=(PROCESS_STD if cfg.flags.enable_noise
+                             else (0.0,) * 5))
         best = None
         for k in range(max(1, cfg.n_seeds)):
             s = seed + 1000 * k

@@ -28,3 +28,12 @@ def test_host_local_batch_to_global():
     arr = launcher.host_local_batch_to_global(m, x)
     assert arr.shape == (16, 1)
     np.testing.assert_allclose(np.asarray(arr), x)
+
+
+def test_cli_supervised_multi_seed(tmp_path):
+    """--seeds trains replicas and selects by closed-loop validation MAE."""
+    cli.main(["generate", "--n-traj", "2", "--t-traj", "8", "--horizon", "5",
+              "--out", str(tmp_path)])
+    data = str(tmp_path / "forging_mult_traj_process_noise_N_5.npz")
+    cli.main(["supervised", "--data", data, "--horizon", "5", "--epochs", "1",
+              "--seeds", "2", "--no-eval", "--out", str(tmp_path)])
