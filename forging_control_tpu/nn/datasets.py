@@ -106,6 +106,19 @@ def telemetry_to_table(telem) -> dict:
     }
 
 
+def append_prediction(table: dict, name: str, pred, *, shift: bool = False,
+                      fill=None) -> dict:
+    """Add an ``NN(name)`` prediction column to a results table
+    (``Data.append_prediction``, Supervised Learning/Functions.py:301-331;
+    the reference optionally shifts LSTM predictions by one step on append,
+    Unsupervised Learning/Model_NN/Functions.py:469)."""
+    col = np.asarray(pred).reshape(-1)
+    if shift:
+        col = shift_commands(col, fill=fill)
+    table[f"NN({name})"] = col
+    return table
+
+
 def shift_commands(arr: np.ndarray, fill=None) -> np.ndarray:
     """Shift a command column by one step, filling the first entry
     (``Data.shift_commands``, Supervised Learning/Functions.py:240-268)."""

@@ -249,3 +249,18 @@ def test_per_trajectory_windows_no_boundary_crossing():
     xw, yw = datasets.windows(rec, rec, lookback, traj_len=L)
     np.testing.assert_allclose(xw[8].ravel(), [8, 8, 8])
     assert yw[7, 0] == 7.0
+
+
+def test_append_prediction_and_shift():
+    """Data.append_prediction / shift_commands parity
+    (Supervised Learning/Functions.py:240-331)."""
+    import numpy as np
+
+    from forging_control_tpu.nn import datasets
+
+    table = {"u": np.array([1.0, 2.0, 3.0])}
+    datasets.append_prediction(table, "u", np.array([[10.0], [20.0], [30.0]]))
+    np.testing.assert_array_equal(table["NN(u)"], [10.0, 20.0, 30.0])
+    datasets.append_prediction(table, "u_shift", np.array([10.0, 20.0, 30.0]),
+                               shift=True, fill=0.0)
+    np.testing.assert_array_equal(table["NN(u_shift)"], [0.0, 10.0, 20.0])
