@@ -37,6 +37,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="results_repro")
     ap.add_argument("--horizon", type=int, default=10)
+    ap.add_argument("--all-horizons", action="store_true",
+                    help="generate stage also produces the N=5..25 datasets"
+                         " so the surrogate trains on all five, like the"
+                         " reference (Model_NN/Main.py:104-128)")
     ap.add_argument("--noise", action="store_true")
     ap.add_argument("--epochs-scale", type=float, default=1.0)
     ap.add_argument("--n-traj", type=int, default=80)
@@ -87,20 +91,29 @@ def main():
 
     # 1. dataset generation ------------------------------------------------
     if "generate" in stages:
-        t0 = time.time()
-        gcfg = config.GenerateConfig(
-            n_traj=args.n_traj, t_traj=300, horizon=args.horizon,
-            variant_model="smooth", ref_variant="supervised", flags=flags,
-            solver_preset=args.preset)
-        telem, results = generate_data.run(gcfg, seed=0)
-        gen_s = time.time() - t0
-        generate_data.save(results, ds_path)
-        summary["generate"] = {**generate_data.summarize(results),
-                               "wall_s": gen_s,
-                               "solves": args.n_traj * 300}
-        save_json("summary.json", summary)
-        print(json.dumps({"stage": "generate", **summary["generate"]}),
-              flush=True)
+        horizons = ((5, 10, 15, 20, 25) if args.all_horizons
+                    else (args.horizon,))
+        for h in sorted(set(horizons) | {args.horizon}):
+            t0 = time.time()
+            gcfg = config.GenerateConfig(
+                n_traj=args.n_traj, t_traj=300, horizon=h,
+                variant_model="smooth", ref_variant="supervised", flags=flags,
+                solver_preset=args.preset)
+            telem, results_h = generate_data.run(gcfg, seed=0)
+            gen_s = time.time() - t0
+            generate_data.save(results_h, generate_data.dataset_path(
+                args.out, h))
+            if h == args.horizon:
+                results = results_h
+                summary["generate"] = {**generate_data.summarize(results),
+                                       "wall_s": gen_s,
+                                       "solves": args.n_traj * 300}
+                save_json("summary.json", summary)
+                print(json.dumps({"stage": "generate",
+                                  **summary["generate"]}), flush=True)
+            else:
+                print(json.dumps({"stage": f"generate_N{h}",
+                                  "wall_s": gen_s}), flush=True)
     else:
         results = generate_data.load(ds_path)
 
@@ -122,7 +135,21 @@ def main():
     ucfg_s = config.SurrogateConfig(
         epochs=max(1, int(50 * args.epochs_scale)), flags=flags)
     if "surrogate" in stages:
-        g_art = surrogate.run([results], ucfg_s, seed=0, eval_results=results)
+        # Reference protocol: the LSTM trains on ALL horizon datasets that
+        # exist under --out (Model_NN/Main.py:104-128 concatenates the five
+        # N=5..25 files); falls back to the main dataset alone.
+        train_sets = []
+        for h in (5, 10, 15, 20, 25):
+            p = generate_data.dataset_path(args.out, h)
+            if os.path.exists(p):
+                train_sets.append(results if h == args.horizon
+                                  else generate_data.load(p))
+        if not train_sets:
+            train_sets = [results]
+        print(json.dumps({"stage": "surrogate_data",
+                          "n_datasets": len(train_sets)}), flush=True)
+        g_art = surrogate.run(train_sets, ucfg_s, seed=0,
+                              eval_results=results)
         summary["surrogate"] = {"test": g_art.test_metrics,
                                 "closed_loop": g_art.closed_loop_metrics}
         checkpoint.save(surrogate_ckpt,

@@ -1,0 +1,115 @@
+"""Sweep MPC-loss training schedules to close the imitation-MAE gap.
+
+The reference's unsupervised controller reaches 0.012-0.019 scaled test
+MAE vs its recorded MPC; ours plateaus at ~0.027 under the repro protocol
+(60 epochs, constant lr 1e-4, closed-loop-val selection).  This sweep
+measures, per configuration and seed:
+
+  * test imitation MAE (scaled, vs recorded MPC commands)
+  * best true-plant closed-loop val MAE (the deployment metric)
+  * the same pair under the reference's val-MSE selection criterion,
+    to quantify how much of the imitation gap is a selection artifact
+
+Reuses the cached results_repro dataset + surrogate checkpoint.
+CPU-friendly (tiny models).  Output: one JSON line per (config, seed).
+
+Usage: JAX_PLATFORMS=cpu python scripts/unsup_quality_sweep.py
+       [--configs base long cos3e4 cos1e3] [--seeds 0 1000]
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+# CPU-only: tiny models, and the single TPU chip is reserved for batched
+# runs.  Must happen before jax initializes a backend (conftest.py pattern).
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="results_repro")
+    ap.add_argument("--configs", nargs="+",
+                    default=["base", "long", "cos3e4", "cos1e3"])
+    ap.add_argument("--seeds", type=int, nargs="+", default=[0, 1000])
+    ap.add_argument("--val-traj", type=int, default=8)
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_fct")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+    import jax.numpy as jnp
+    import optax
+
+    from forging_control_tpu.eval import metrics
+    from forging_control_tpu.nn import fnn, lstm, scalers, train
+    from forging_control_tpu.pipelines import (config, generate_data,
+                                               unsupervised)
+    from forging_control_tpu.utils import checkpoint
+
+    flags = config.Flags(enable_noise=True)
+    results = generate_data.load(generate_data.dataset_path(args.out, 10))
+
+    ucfg_s = config.SurrogateConfig(flags=flags)
+    like_params = lstm.init(jax.random.PRNGKey(0),
+                            hidden_dim=ucfg_s.hidden_dim,
+                            num_layers=ucfg_s.num_layers)
+    loaded = checkpoint.load(
+        os.path.join(args.out, "surrogate_params.npz"),
+        {"params": like_params, "scaler": (jnp.zeros((5,)), jnp.ones((5,)))})
+    surrogate_params = loaded["params"]
+    state_scaler = scalers.Scaler(shift=loaded["scaler"][0],
+                                  scale=loaded["scaler"][1])
+
+    ucfg = config.UnsupervisedConfig(horizon=10, flags=flags)
+    (xtr, utr, ztr), (xva, uva, _), (xte, ute, _), in_sc, u_sc = \
+        unsupervised.prepare_data(results, state_scaler, ucfg)
+    cl_val = unsupervised.make_closed_loop_val(
+        in_sc, u_sc, n_traj=args.val_traj, seed=0,
+        process_std=config.PROCESS_STD)
+
+    n_train = len(xtr)
+    steps_per_epoch = max(1, n_train // ucfg.batch_size)
+
+    def sched(peak, epochs):
+        return optax.cosine_decay_schedule(peak, steps_per_epoch * epochs)
+
+    configs = {
+        "base": dict(epochs=60, lr=1e-4),
+        "long": dict(epochs=150, lr=1e-4),
+        "cos3e4": dict(epochs=60, lr=sched(3e-4, 60)),
+        "cos1e3": dict(epochs=60, lr=sched(1e-3, 60)),
+        "cos3e4_long": dict(epochs=150, lr=sched(3e-4, 150)),
+        "noise1": dict(epochs=60, lr=1e-4, enable_noise=True),
+    }
+
+    for name in args.configs:
+        kw = dict(configs[name])
+        epochs = kw.pop("epochs")
+        for seed in args.seeds:
+            row = {"cfg": name, "seed": seed}
+            for crit, val_fn in (("cl", cl_val), ("val_mse", None)):
+                p0, _ = fnn.init(jax.random.PRNGKey(seed), dtype=jnp.float32)
+                params, rep = train.train_unsupervised(
+                    p0, surrogate_params, xtr, utr, ztr, xva, uva,
+                    horizon=ucfg.horizon, alpha=ucfg.alpha,
+                    epochs=epochs, batch_size=ucfg.batch_size,
+                    seed=seed, closed_loop_val_fn=val_fn, **kw)
+                pred = fnn.apply(params, jnp.asarray(xte))
+                row[f"{crit}_test_MAE"] = float(
+                    metrics.mae(jnp.asarray(ute), pred))
+                # true-plant closed-loop MAE of the selected params
+                row[f"{crit}_cl_MAE"] = float(cl_val(params))
+                row[f"{crit}_best_val_mse"] = (min(rep.val_losses)
+                                               if rep.val_losses else None)
+            print(json.dumps(row), flush=True)
+
+
+if __name__ == "__main__":
+    main()
