@@ -88,6 +88,18 @@ def save(results: dict, path: str) -> None:
 
 
 def load(path: str) -> dict:
+    """Load a dataset: our ``.npz`` or a reference do-mpc ``.pkl``.
+
+    ``.pkl`` paths are the reference's pickled result dicts
+    (``Data/forging_mult_traj_*.pkl``, ``README.md:85-90``) — read without
+    do-mpc via utils/dompc_pickle and converted to the same schema, so
+    existing reference datasets drop straight into the training pipelines.
+    """
+    if path.endswith(".pkl"):
+        from ..utils import dompc_pickle
+        recs = dompc_pickle.load(path)
+        key = "mpc" if "mpc" in recs else next(iter(recs))
+        return dompc_pickle.to_results(recs[key])
     with np.load(path) as f:
         return {k: f[k] for k in f.files}
 

@@ -99,6 +99,45 @@ def main():
         "frac_within_1e-3": float(np.mean(reluc < 1e-3)),
     }
 
+    # --- Model_NN golden recording: N=5, clamp variant, MA27 ---------------
+    # (Unsupervised Learning/Model_NN/results/MPC_simulation.pkl — 10
+    # trajectories of the horizon-5 MPC with the hard-clamp model; loaded
+    # without do-mpc via utils/dompc_pickle)
+    from forging_control_tpu.utils import dompc_pickle
+    mnn = dompc_pickle.load(
+        "/root/reference/Unsupervised Learning/Model_NN/results/"
+        "MPC_simulation.pkl")["simulator"]
+    xm = mnn["_x"]
+    um = mnn["_u"][:, 0]
+    tvpm = mnn["_tvp"][:, 0]
+
+    fm = lambda x, u: press.rhs(x, u, variant="clamp")
+    stepm = jax.jit(jax.vmap(lambda x, u: rk4_step(fm, x, u, 0.001, 4)))
+    measm = jax.vmap(lambda x: press.measure(x, variant="clamp"))
+    predm = np.array(measm(stepm(jnp.array(xm[:2999]), jnp.array(um[1:3000]))))
+    maskm = ((xm[:2999, 2] > 1) & (xm[:2999, 3] > 1)
+             & (xm[1:3000, 2] > 1) & (xm[1:3000, 3] > 1)
+             & (np.arange(1, 3000) % 300 != 0))  # exclude traj resets
+    relm = np.abs(predm - xm[1:3000])[maskm] / np.maximum(
+        np.abs(xm[1:3000])[maskm], 1e-2)
+    cfg5 = sqp.MPCConfig(horizon=5, variant="clamp", gn_iters=15, al_iters=3)
+    states5 = np.vstack([press.X0_REFERENCE, xm[:2999]])
+    states5[::300] = press.X0_REFERENCE          # per-trajectory reset
+    uprev5 = np.concatenate([[0.0], um[:2999]])
+    uprev5[::300] = 0.0
+    u05, _ = make_solve_batch(cfg5)(
+        jnp.array(states5), jnp.array(tvpm), jnp.array(uprev5))
+    relu5 = np.abs(np.array(u05) - um) / np.maximum(np.abs(um), 1e-2)
+    out["model_nn_N5_clamp"] = {
+        "integrator_median_rel": float(np.median(relm)),
+        "integrator_p99_rel": float(np.percentile(relm, 99)),
+        "solver_median_rel": float(np.median(relu5)),
+        "solver_p95_rel": float(np.percentile(relu5, 95)),
+        "solver_frac_within_1e-3": float(np.mean(relu5 < 1e-3)),
+        "note": ("second golden recording: horizon 5, hard-clamp model "
+                 "variant, MA27 linear solver, 10 trajectories"),
+    }
+
     # --- closed-loop metrics ----------------------------------------------
     loop_cfg = cl.LoopConfig(t_steps=300, variant="smooth")
     refs = jnp.array(rows[:, 1].reshape(2, 300))

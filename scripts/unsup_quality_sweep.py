@@ -24,9 +24,15 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # CPU-only: tiny models, and the single TPU chip is reserved for batched
-# runs.  Must happen before jax initializes a backend (conftest.py pattern).
+# runs.  The axon sitecustomize imports jax at interpreter startup, so env
+# vars alone are too late — configure via jax.config before any backend
+# initializes (tests/conftest.py pattern).
 os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 
 def main():
@@ -36,6 +42,10 @@ def main():
                     default=["base", "long", "cos3e4", "cos1e3"])
     ap.add_argument("--seeds", type=int, nargs="+", default=[0, 1000])
     ap.add_argument("--val-traj", type=int, default=8)
+    ap.add_argument("--criteria", nargs="+", default=["cl", "val_mse"],
+                    help="selection criteria to evaluate (each costs one"
+                         " full training run; measured: they pick nearly"
+                         " identical checkpoints)")
     args = ap.parse_args()
 
     import jax
@@ -94,7 +104,9 @@ def main():
         epochs = kw.pop("epochs")
         for seed in args.seeds:
             row = {"cfg": name, "seed": seed}
-            for crit, val_fn in (("cl", cl_val), ("val_mse", None)):
+            crits = [(c, cl_val if c == "cl" else None)
+                     for c in args.criteria]
+            for crit, val_fn in crits:
                 p0, _ = fnn.init(jax.random.PRNGKey(seed), dtype=jnp.float32)
                 params, rep = train.train_unsupervised(
                     p0, surrogate_params, xtr, utr, ztr, xva, uva,

@@ -64,3 +64,35 @@ def test_sample_references_distribution():
     assert np.all(tab[:, 150:] <= -0.1)
     # distinct trajectories get distinct draws
     assert len(np.unique(tab[:, 0])) > 60
+
+
+MODEL_NN_RECORDING = ("/root/reference/Unsupervised Learning/Model_NN/"
+                      "results/MPC_simulation.pkl")
+
+
+def test_model_nn_refs_match_recorded_pickle():
+    """The Model_NN variant streams (seeds +250 / +10^6+100, 0.8r+0.1 —
+    Model_NN/template_mpc.py:74-80) must be bit-identical to the _tvp
+    column of the shipped MPC_simulation.pkl recording, loaded through
+    the do-mpc-free pickle reader."""
+    from forging_control_tpu.utils import dompc_pickle
+
+    recs = dompc_pickle.load(MODEL_NN_RECORDING)
+    tvp = recs["simulator"]["_tvp"].reshape(10, 300)
+    tab = streams.reference_table(10, "model_nn")
+    np.testing.assert_array_equal(tab, tvp)
+
+
+def test_dompc_pickle_to_results_schema():
+    """Reference pickles convert to the generate_data results schema and
+    load through pipelines.generate_data.load directly."""
+    from forging_control_tpu.pipelines import generate_data
+
+    results = generate_data.load(MODEL_NN_RECORDING)
+    assert set(results) >= {"y", "y_dot", "p1", "p2", "z", "ref", "u", "F_d"}
+    for k, v in results.items():
+        assert v.shape == (10, 300), k
+    # trajectory 0 starts from the reference X0
+    assert results["y"][0, 0] == 0.0
+    assert abs(results["p1"][0, 0] - 2156275.6006012624) < 1e-6
+    assert np.isfinite(results["F_d"]).all()
