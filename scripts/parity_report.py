@@ -128,14 +128,52 @@ def main():
     u05, _ = make_solve_batch(cfg5)(
         jnp.array(states5), jnp.array(tvpm), jnp.array(uprev5))
     relu5 = np.abs(np.array(u05) - um) / np.maximum(np.abs(um), 1e-2)
+    cfg5c = sqp.MPCConfig.ipopt_compat(horizon=5, variant="clamp",
+                                       gn_iters=15, al_iters=3)
+    u05c, _ = make_solve_batch(cfg5c)(
+        jnp.array(states5), jnp.array(tvpm), jnp.array(uprev5))
+    relu5c = np.abs(np.array(u05c) - um) / np.maximum(np.abs(um), 1e-2)
     out["model_nn_N5_clamp"] = {
         "integrator_median_rel": float(np.median(relm)),
         "integrator_p99_rel": float(np.percentile(relm, 99)),
         "solver_median_rel": float(np.median(relu5)),
         "solver_p95_rel": float(np.percentile(relu5, 95)),
         "solver_frac_within_1e-3": float(np.mean(relu5 < 1e-3)),
+        "solver_median_rel_ipopt_compat": float(np.median(relu5c)),
+        "solver_frac_within_1e-3_ipopt_compat": float(np.mean(relu5c < 1e-3)),
         "note": ("second golden recording: horizon 5, hard-clamp model "
                  "variant, MA27 linear solver, 10 trajectories"),
+    }
+
+    # --- feasibility-config golden recording: N=10, p in [0, 32e6] ---------
+    # (forging_MPC_N_10_feasible.pkl — 15 trajectories of the
+    # do_feasibility MPC with upper pressure bounds,
+    # Supervised Learning/template_mpc.py:57-64)
+    feas = dompc_pickle.load(
+        "/root/reference/Supervised Learning/results/"
+        "forging_MPC_N_10_feasible.pkl")["simulator"]
+    xf = feas["_x"]
+    uf = feas["_u"][:, 0]
+    tvpf = feas["_tvp"][:, 0]
+    Tf = xf.shape[0]
+    cfgf = sqp.MPCConfig(horizon=10, variant="smooth", p_max=32e6,
+                         gn_iters=15, al_iters=3)
+    statesf = np.vstack([press.X0_REFERENCE, xf[:Tf - 1]])
+    statesf[::300] = press.X0_REFERENCE
+    uprevf = np.concatenate([[0.0], uf[:Tf - 1]])
+    uprevf[::300] = 0.0
+    u0f, inf_f = make_solve_batch(cfgf)(
+        jnp.array(statesf), jnp.array(tvpf), jnp.array(uprevf))
+    reluf = np.abs(np.array(u0f) - uf) / np.maximum(np.abs(uf), 1e-2)
+    out["feasibility_config_N10"] = {
+        "solver_median_rel": float(np.median(reluf)),
+        "solver_p95_rel": float(np.percentile(reluf, 95)),
+        "solver_frac_within_1e-3": float(np.mean(reluf < 1e-3)),
+        "max_inf_pr_scaled": float(np.max(np.array(inf_f))),
+        "recorded_p2_max_Pa": float(xf[:, 3].max()),
+        "note": ("third golden recording: upper pressure bounds active "
+                 "(recorded p2 peaks at 30.2 MPa of the 32 MPa cap), "
+                 "15 trajectories"),
     }
 
     # --- closed-loop metrics ----------------------------------------------
