@@ -97,7 +97,14 @@ class UnsupervisedConfig:
     horizon: int = 10
     lookback: int = 10
     alpha: float = 20.0
-    lr: float = 1e-4
+    # Reference protocol is constant lr=1e-4 (Main.py:326-348); the
+    # measured-best schedule is cosine decay from 1e-3 over the run
+    # (scripts/unsup_quality_sweep.py: test imitation MAE 0.0105-0.0116 vs
+    # 0.0136-0.0149 at constant 1e-4, same 60-epoch budget, all 3 seeds;
+    # noisy closed-loop val 0.070-0.072 vs 0.077-0.085).  Set
+    # lr_schedule="constant", lr=1e-4 for the reference protocol.
+    lr: float = 1e-3
+    lr_schedule: str = "cosine"       # "cosine" | "constant"
     epochs: int = 20
     total_batch_size: int = 150       # BATCH_SIZE = 150 // N (Main.py:282-309)
     # Select the best epoch by true-plant closed-loop tracking MAE instead

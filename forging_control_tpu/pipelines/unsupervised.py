@@ -125,10 +125,16 @@ def run(results: dict, surrogate_params, state_scaler,
                     process_std=(PROCESS_STD if cfg.flags.enable_noise
                                  else (0.0,) * 5),
                     closed_loop_val_fn=cl_val_fn)
+            bs = max(cfg.batch_size, 1)
+            lr = cfg.lr
+            if cfg.lr_schedule == "cosine":
+                import optax
+                lr = optax.cosine_decay_schedule(
+                    cfg.lr, max(1, len(xtr) // bs) * cfg.epochs)
             return train.train_unsupervised(
                 p0, surrogate_params, xtr, utr, ztr, xva, uva,
-                horizon=cfg.horizon, alpha=cfg.alpha, lr=cfg.lr,
-                epochs=cfg.epochs, batch_size=max(cfg.batch_size, 1),
+                horizon=cfg.horizon, alpha=cfg.alpha, lr=lr,
+                epochs=cfg.epochs, batch_size=bs,
                 enable_noise=cfg.flags.enable_noise, seed=s,
                 closed_loop_val_fn=cl_val_fn)
 
