@@ -41,6 +41,10 @@ def main():
                     help="generate stage also produces the N=5..25 datasets"
                          " so the surrogate trains on all five, like the"
                          " reference (Model_NN/Main.py:104-128)")
+    ap.add_argument("--skip-existing", action="store_true",
+                    help="generate stage skips horizons whose dataset file"
+                         " already exists under --out (resume after an"
+                         " interrupted run)")
     ap.add_argument("--noise", action="store_true")
     ap.add_argument("--epochs-scale", type=float, default=1.0)
     ap.add_argument("--n-traj", type=int, default=80)
@@ -94,6 +98,13 @@ def main():
         horizons = ((5, 10, 15, 20, 25) if args.all_horizons
                     else (args.horizon,))
         for h in sorted(set(horizons) | {args.horizon}):
+            h_path = generate_data.dataset_path(args.out, h)
+            if args.skip_existing and os.path.exists(h_path):
+                if h == args.horizon:
+                    results = generate_data.load(h_path)
+                print(json.dumps({"stage": f"generate_N{h}",
+                                  "skipped": True}), flush=True)
+                continue
             t0 = time.time()
             gcfg = config.GenerateConfig(
                 n_traj=args.n_traj, t_traj=300, horizon=h,
