@@ -121,7 +121,8 @@ def cmd_unsupervised(args):
                                   train_mode=args.train_mode,
                                   n_seeds=args.seeds, flags=_flags(args))
     art = unsupervised.run(results, s_art.params, s_art.state_scaler, cfg,
-                           seed=args.seed, closed_loop_eval=not args.no_eval)
+                           seed=args.seed, closed_loop_eval=not args.no_eval,
+                           out_dir=args.out)
     log.info(json.dumps({"test": art.test_metrics, "nn": art.nn_metrics,
                          "surrogate_drift": art.surrogate_drift}))
     if args.plots and art.nn_telem is not None:

@@ -91,7 +91,8 @@ def make_closed_loop_val(in_sc, u_sc, *, n_traj: int = 8, t_traj: int = 300,
 def run(results: dict, surrogate_params, state_scaler,
         cfg: UnsupervisedConfig = UnsupervisedConfig(), *, seed: int = 0,
         closed_loop_eval: bool = True, dtype=jnp.float32,
-        t_traj: int = 300, n_traj_eval: int = 2) -> UnsupervisedArtifacts:
+        t_traj: int = 300, n_traj_eval: int = 2,
+        out_dir: str | None = None) -> UnsupervisedArtifacts:
     (xtr, utr, ztr), (xva, uva, _), (xte, ute, _), in_sc, u_sc = prepare_data(
         results, state_scaler, cfg)
 
@@ -198,4 +199,19 @@ def run(results: dict, surrogate_params, state_scaler,
     preds = surrogate_eval.free_running(surrogate_params, track, cfg.lookback)
     art.surrogate_drift = surrogate_eval.fidelity_metrics(
         preds[:-1], track[cfg.lookback + 1:, :4])
+
+    if out_dir:
+        # Reference-format artifacts (Unsupervised Learning/Main.py:895-934)
+        from ..eval import report
+        sfx = f"N_{cfg.horizon}" + ("_noise" if cfg.flags.enable_noise
+                                    else "")
+        sub = "Feasibility" if cfg.flags.enable_feasibility else "Normal"
+        report.show_tabulate(art.test_metrics,
+                             f"{out_dir}/Tables/{sub}/test_results_{sfx}.csv",
+                             echo=False)
+        report.show_tabulate(art.nn_metrics,
+                             f"{out_dir}/Tables/{sub}/NN_results_{sfx}.csv",
+                             echo=False)
+        report.dump_dataframe(f"{out_dir}/results/Unsupervised_dataframe.txt",
+                              telem)
     return art

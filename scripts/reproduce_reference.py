@@ -195,7 +195,8 @@ def main():
             u_art = unsupervised.run(
                 results, surrogate_params, state_scaler,
                 dataclasses.replace(ucfg, train_mode=mode),
-                seed=0, closed_loop_eval=True)
+                seed=0, closed_loop_eval=True,
+                out_dir=args.out if mode == "surrogate" else None)
             key = "unsupervised" if mode == "surrogate" else "unsupervised_plant"
             summary[key] = {"test": u_art.test_metrics,
                             "nn": u_art.nn_metrics,
