@@ -57,7 +57,13 @@ class SupervisedConfig:
     n_traj_eval: int = 2
     t_traj: int = 300
     lr: float = 1e-3
-    epochs: int = 20
+    # Reference protocol is 20 epochs (Main.py:272-286); 60 improves test
+    # imitation MAE 0.0080 -> 0.0059-0.0068 (scripts/sup_quality_sweep.py,
+    # 3 seeds, matching the reference's 0.0059) at ~2 s extra train time;
+    # closed-loop tracking is unchanged (the FNN's closed-loop ceiling is
+    # set by the architecture, measured identical for the reference's own
+    # shipped weights under a matched 16-stream protocol).
+    epochs: int = 60
     batch_size: int = 256
     hidden_dim: int = 50
     width_dim: int = 1

@@ -117,8 +117,17 @@ def main():
              "unsupervised", rec_uns)]:
         maes = []
         for sim in range(10):
-            p = os.path.join(d, f"NN_controller_N_10_{sim}.pt")
-            if not os.path.exists(p):
+            # The reference ships separate weights per noise config:
+            # supervised NN_controller_process_noise_N_10_{sim}.pt,
+            # unsupervised NN_controller_N_10_{sim}_noise.pt.
+            if args.noise:
+                cands = [f"NN_controller_process_noise_N_10_{sim}.pt",
+                         f"NN_controller_N_10_{sim}_noise.pt"]
+            else:
+                cands = [f"NN_controller_N_10_{sim}.pt"]
+            p = next((os.path.join(d, c) for c in cands
+                      if os.path.exists(os.path.join(d, c))), None)
+            if p is None:
                 continue
             params = load_fnn_state(p)
             m, u = run_policy(params, in_sc, rv)

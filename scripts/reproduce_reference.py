@@ -131,7 +131,7 @@ def main():
     # 2. supervised --------------------------------------------------------
     if "supervised" in stages:
         scfg = config.SupervisedConfig(
-            horizon=args.horizon, epochs=max(1, int(20 * args.epochs_scale)),
+            horizon=args.horizon, epochs=max(1, int(60 * args.epochs_scale)),
             flags=flags, solver_preset=args.preset, n_seeds=args.seeds)
         s_art = supervised.run(results, scfg, seed=0, closed_loop_eval=True,
                                out_dir=args.out)
