@@ -146,3 +146,58 @@ class UnsupervisedConfig:
     @property
     def batch_size(self) -> int:
         return self.total_batch_size // self.horizon
+
+
+# ---------------------------------------------------------------------------
+# Hyperparameter-bundle persistence (Save_Network_Data equivalent)
+# ---------------------------------------------------------------------------
+
+_CONFIG_TYPES = None  # populated lazily from module globals
+
+
+def _config_registry():
+    global _CONFIG_TYPES
+    if _CONFIG_TYPES is None:
+        _CONFIG_TYPES = {
+            c.__name__: c
+            for c in (Flags, GenerateConfig, SupervisedConfig,
+                      SurrogateConfig, UnsupervisedConfig)
+        }
+    return _CONFIG_TYPES
+
+
+def save_config(path: str, cfg) -> None:
+    """Persist a config dataclass as JSON.
+
+    Replaces the reference's pickled ``Save_Network_Data`` hyperparameter
+    record (``Unsupervised Learning/Model_NN/Functions.py:1076-1114``,
+    saved to ``results/NN_model_data.bin``) — but human-readable and
+    version-skew-proof (the reference's pickle load broke across
+    sklearn/torch versions and was replaced by a hand-coded dummy,
+    ``Unsupervised Learning/Main.py:144-151``).
+    """
+    import json
+
+    rec = {"__config__": type(cfg).__name__,
+           **dataclasses.asdict(cfg)}
+    with open(path, "w") as f:
+        json.dump(rec, f, indent=2, default=list)
+
+
+def load_config(path: str):
+    """Reload a config saved by :func:`save_config` (exact round trip)."""
+    import json
+
+    with open(path) as f:
+        rec = json.load(f)
+    cls = _config_registry()[rec.pop("__config__")]
+    fields = {f.name: f for f in dataclasses.fields(cls)}
+    kw = {}
+    for k, v in rec.items():
+        if k == "flags":
+            v = Flags(**v)
+        elif isinstance(v, list):
+            v = tuple(v)
+        kw[k] = v
+        assert k in fields, f"unknown field {k!r} for {cls.__name__}"
+    return cls(**kw)

@@ -117,3 +117,21 @@ def test_supervised_multi_seed_selection(small_dataset):
                          dtype=jnp.float64)
     assert art.train_report.selected_seed in (0, 1000)
     assert np.isfinite(art.test_metrics["MAE"])
+
+
+def test_config_bundle_round_trip(tmp_path):
+    """save_config/load_config: the Save_Network_Data-equivalent
+    hyperparameter bundle round-trips exactly (reference pickles a record
+    to results/NN_model_data.bin, Model_NN/Functions.py:1076-1114, whose
+    load path broke across library versions)."""
+    cfgs = [
+        config.GenerateConfig(horizon=15, solver_preset="fast"),
+        config.SupervisedConfig(epochs=3, n_seeds=2,
+                                flags=config.Flags(enable_noise=True)),
+        config.SurrogateConfig(horizons=(5, 10)),
+        config.UnsupervisedConfig(train_mode="plant", lr=5e-4),
+    ]
+    for i, cfg in enumerate(cfgs):
+        p = tmp_path / f"bundle_{i}.json"
+        config.save_config(str(p), cfg)
+        assert config.load_config(str(p)) == cfg
