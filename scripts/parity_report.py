@@ -176,6 +176,111 @@ def main():
                  "15 trajectories"),
     }
 
+    # --- noise-config golden recordings -------------------------------------
+    # The dataset-generation configs run with process noise; the recorded
+    # states embed the noise draws, so per-step cold-start replay (feed the
+    # recorded pre-step state, compare the command) is exact in its inputs
+    # even though the noise itself is not stored.
+    for key, path, cfg_n, n_horizon, var in [
+            ("noise_config_N10",
+             "/root/reference/Supervised Learning/results/"
+             "forging_MPC_process_noise_N_10.pkl", None, 10, "smooth"),
+            ("model_nn_N5_clamp_noise",
+             "/root/reference/Unsupervised Learning/Model_NN/results/"
+             "MPC_simulation_noise.pkl", None, 5, "clamp"),
+    ]:
+        rec = dompc_pickle.load(path)["simulator"]
+        xn = rec["_x"]
+        un = rec["_u"][:, 0]
+        tvpn = rec["_tvp"][:, 0]
+        Tn = xn.shape[0]
+        cfg_n = sqp.MPCConfig(horizon=n_horizon, variant=var,
+                              gn_iters=15, al_iters=3)
+        statesn = np.vstack([press.X0_REFERENCE, xn[:Tn - 1]])
+        statesn[::300] = press.X0_REFERENCE
+        uprevn = np.concatenate([[0.0], un[:Tn - 1]])
+        uprevn[::300] = 0.0
+        u0n, inf_n = make_solve_batch(cfg_n)(
+            jnp.array(statesn), jnp.array(tvpn), jnp.array(uprevn))
+        relun = np.abs(np.array(u0n) - un) / np.maximum(np.abs(un), 1e-2)
+        out[key] = {
+            "solver_median_rel": float(np.median(relun)),
+            "solver_p95_rel": float(np.percentile(relun, 95)),
+            "solver_frac_within_1e-3": float(np.mean(relun < 1e-3)),
+            "solver_frac_within_1e-2": float(np.mean(relun < 1e-2)),
+            "max_inf_pr_scaled": float(np.max(np.array(inf_n))),
+            "min_recorded_pressure_Pa": float(min(xn[:, 2].min(),
+                                                  xn[:, 3].min())),
+            "steps": int(Tn),
+            "note": f"process-noise recording, horizon {n_horizon}, "
+                    f"{var} variant; the +-5e7 Pa process-noise kicks drive "
+                    f"recorded pressures far below the p>=0 bound, so many "
+                    f"steps start infeasible and the recorded IPOPT command "
+                    f"reflects its restoration behavior rather than a "
+                    f"well-posed optimum",
+        }
+
+    # --- independent-solver cross-check at N=15/20/25 ----------------------
+    # No recordings survive for the longer Generate-Data horizons (the
+    # Data/*.pkl blobs are stripped), so validate those horizons against an
+    # independent NLP solver: scipy trust-constr (interior-point-like) on
+    # the *same* condensed NLP in f64, cold-started, sampled over recorded
+    # states.  Disagreement would expose a horizon-dependent solver defect
+    # that the N=5/10 recordings cannot.
+    from scipy.optimize import NonlinearConstraint, minimize
+
+    from forging_control_tpu.physics.scaling import U_SCALE
+    sample = slice(0, 300, 8)  # 38 states across the golden trajectory
+    xs_s = states[sample]
+    refs_s = rows[:300, 1][sample]
+    ups_s = uprev[sample]
+    out["independent_crosscheck"] = {}
+    for Nh in (15, 20, 25):
+        cfg_h = sqp.MPCConfig(horizon=Nh, variant="raw",
+                              gn_iters=15, al_iters=3)
+
+        def obj(v, x0_i, ref_i, up_i, cfg_h=cfg_h):
+            # _objective_only takes the SCALED previous input
+            return sqp._objective_only(cfg_h, jnp.array(x0_i),
+                                       ref_i, up_i / U_SCALE, jnp.array(v))
+
+        obj_g = jax.jit(jax.value_and_grad(obj, argnums=0),
+                        static_argnames=())
+        con = jax.jit(lambda v, x0_i, cfg_h=cfg_h: sqp._constraints(
+            cfg_h, sqp._rollout(cfg_h, jnp.array(x0_i), jnp.array(v))))
+        con_j = jax.jit(jax.jacfwd(con, argnums=0))
+
+        solve_ours = make_solve_batch(cfg_h)
+        u0_ours, _ = solve_ours(jnp.array(xs_s), jnp.array(refs_s),
+                                jnp.array(ups_s))
+        u0_ours = np.array(u0_ours)
+
+        u0_sp = []
+        for i in range(xs_s.shape[0]):
+            x0_i, ref_i, up_i = xs_s[i], float(refs_s[i]), float(ups_s[i])
+            nlc = NonlinearConstraint(
+                lambda v, x0_i=x0_i: np.array(con(v, x0_i)),
+                0.0, np.inf,
+                jac=lambda v, x0_i=x0_i: np.array(con_j(v, x0_i)))
+            res = minimize(
+                lambda v: tuple(map(np.array, obj_g(v, x0_i, ref_i, up_i))),
+                np.zeros(Nh), jac=True, method="trust-constr",
+                constraints=[nlc],
+                options={"gtol": 1e-10, "xtol": 1e-12, "maxiter": 400})
+            u0_sp.append(res.x[0] * U_SCALE)
+        u0_sp = np.array(u0_sp)
+        relx = np.abs(u0_ours - u0_sp) / np.maximum(np.abs(u0_sp), 1e-2)
+        out["independent_crosscheck"][f"N{Nh}"] = {
+            "median_rel": float(np.median(relx)),
+            "p95_rel": float(np.percentile(relx, 95)),
+            "frac_within_1e-3": float(np.mean(relx < 1e-3)),
+            "samples": int(xs_s.shape[0]),
+        }
+    out["independent_crosscheck"]["note"] = (
+        "scipy trust-constr on the same condensed NLP (f64, cold start), "
+        "Generate-Data config (raw variant, p>=0); covers the horizons "
+        "whose reference recordings were stripped")
+
     # --- closed-loop metrics ----------------------------------------------
     loop_cfg = cl.LoopConfig(t_steps=300, variant="smooth")
     refs = jnp.array(rows[:, 1].reshape(2, 300))

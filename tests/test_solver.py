@@ -176,3 +176,44 @@ def test_scan_unroll_equivalence():
     np.testing.assert_allclose(float(u1), float(u2), rtol=1e-12, atol=1e-14)
     np.testing.assert_allclose(np.array(s1.v), np.array(s2.v),
                                rtol=1e-11, atol=1e-13)
+
+
+def test_independent_scipy_crosscheck(golden_mpc_rows):
+    """Cross-validate a long horizon (N=15) against an independent NLP
+    solver: scipy trust-constr on the same condensed NLP, f64, cold start.
+
+    No reference recordings survive for the Generate-Data horizons > 10
+    (the Data/*.pkl blobs are stripped), so this is the parity evidence for
+    the long-horizon regime; the full sweep (N=15/20/25, 38 states) lives
+    in scripts/parity_report.py -> docs/RESULTS-parity.json.
+    """
+    from scipy.optimize import NonlinearConstraint, minimize
+
+    cfg = sqp.MPCConfig(horizon=15, variant="raw", gn_iters=15, al_iters=3)
+    rows = golden_mpc_rows[:300]
+    states = np.vstack([press.X0_REFERENCE, rows[:299, 2:7]])
+    uprev = np.concatenate([[0.0], rows[:299, 7]])
+    idx = [40, 120, 260]  # plateau, transient, return stroke
+
+    obj_g = jax.jit(jax.value_and_grad(
+        # _objective_only takes the SCALED previous input
+        lambda v, x0, r, up: sqp._objective_only(cfg, x0, r, up / U_SCALE, v)))
+    con = jax.jit(lambda v, x0: sqp._constraints(
+        cfg, sqp._rollout(cfg, x0, v)))
+    con_j = jax.jit(jax.jacfwd(con, argnums=0))
+
+    for i in idx:
+        x0 = jnp.array(states[i])
+        ref, up = float(rows[i, 1]), float(uprev[i])
+        u0, _, _ = sqp.solve(cfg, x0, ref, up, sqp.init_state(cfg, jnp.float64))
+        nlc = NonlinearConstraint(
+            lambda v: np.array(con(jnp.array(v), x0)), 0.0, np.inf,
+            jac=lambda v: np.array(con_j(jnp.array(v), x0)))
+        res = minimize(
+            lambda v: tuple(map(np.array, obj_g(jnp.array(v), x0, ref, up))),
+            np.zeros(cfg.horizon), jac=True, method="trust-constr",
+            constraints=[nlc],
+            options={"gtol": 1e-10, "xtol": 1e-12, "maxiter": 400})
+        u0_sp = res.x[0] * U_SCALE
+        assert abs(float(u0) - u0_sp) / max(abs(u0_sp), 1e-2) < 1e-3, (
+            f"step {i}: ours {float(u0)} vs scipy {u0_sp}")
