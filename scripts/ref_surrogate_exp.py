@@ -23,16 +23,8 @@ REF = "/root/reference"
 
 
 def load_ref_lstm(path):
-    import jax.numpy as jnp
-    import torch
-    sd = torch.load(path, map_location="cpu", weights_only=True)
-    layers = [{"w_ih": jnp.asarray(sd[f"lstm.weight_ih_l{l}"].numpy().T,
-                                   jnp.float32),
-               "w_hh": jnp.asarray(sd[f"lstm.weight_hh_l{l}"].numpy().T,
-                                   jnp.float32)} for l in range(3)]
-    return {"layers": layers,
-            "w_out": jnp.asarray(sd["fc.weight"].numpy().T, jnp.float32),
-            "b_out": jnp.asarray(sd["fc.bias"].numpy(), jnp.float32)}
+    from forging_control_tpu.nn import torch_compat
+    return torch_compat.lstm_from_torch(path)
 
 
 def main():

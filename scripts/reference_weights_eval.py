@@ -44,15 +44,8 @@ REF = "/root/reference"
 
 
 def load_fnn_state(path):
-    import torch
-    sd = torch.load(path, map_location="cpu", weights_only=True)
-    return {
-        "w_in": jnp.asarray(sd["fc_inp.weight"].numpy().T, jnp.float64),
-        "b_in": jnp.asarray(sd["fc_inp.bias"].numpy(), jnp.float64),
-        "w_int": jnp.asarray(sd["fc_int.weight"].numpy().T, jnp.float64),
-        "b_int": jnp.asarray(sd["fc_int.bias"].numpy(), jnp.float64),
-        "w_out": jnp.asarray(sd["fc_out.weight"].numpy().T, jnp.float64),
-    }
+    from forging_control_tpu.nn import torch_compat
+    return torch_compat.fnn_from_torch(path, dtype=jnp.float64)
 
 
 def main():

@@ -1,5 +1,7 @@
 """NN stack tests: scalers, FNN, LSTM, datasets, MPC loss, training."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -264,3 +266,73 @@ def test_append_prediction_and_shift():
     datasets.append_prediction(table, "u_shift", np.array([10.0, 20.0, 30.0]),
                                shift=True, fill=0.0)
     np.testing.assert_array_equal(table["NN(u_shift)"], [0.0, 10.0, 20.0])
+
+
+def test_torch_compat_fnn_reference_weights():
+    """fnn_from_torch loads the reference's shipped controller state_dict
+    and reproduces the torch forward pass exactly."""
+    torch = pytest.importorskip("torch")
+    from forging_control_tpu.nn import torch_compat
+
+    path = ("/root/reference/Supervised Learning/results/"
+            "NN_controller_N_10_0.pt")
+    if not os.path.exists(path):
+        pytest.skip("reference weights not present")
+    params = torch_compat.fnn_from_torch(path, dtype=jnp.float64)
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    x = np.random.default_rng(0).uniform(-1, 1, (32, 3))
+
+    # width_dim = 1 in the reference: fc_int is never applied in forward
+    # (Supervised Learning/Functions.py:168-171 loops width_dim - 1 times)
+    xt = torch.tensor(x, dtype=torch.float64)
+    h = torch.relu(xt @ sd["fc_inp.weight"].double().T
+                   + sd["fc_inp.bias"].double())
+    expect = torch.clamp(h @ sd["fc_out.weight"].double().T, -1, 1).numpy()
+
+    got = np.asarray(fnn.apply(params, jnp.asarray(x)))
+    np.testing.assert_allclose(got, expect, rtol=0, atol=1e-12)
+
+
+def test_torch_compat_lstm_reference_weights():
+    """lstm_from_torch loads the reference's shipped surrogate and matches
+    torch's LSTM forward (bias-free cells + biased readout)."""
+    torch = pytest.importorskip("torch")
+    from forging_control_tpu.nn import torch_compat
+
+    path = ("/root/reference/Unsupervised Learning/Model_NN/results/"
+            "model_NN.pt")
+    if not os.path.exists(path):
+        pytest.skip("reference weights not present")
+    params = torch_compat.lstm_from_torch(path, dtype=jnp.float64)
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+
+    net = torch.nn.LSTM(5, 50, 3, bias=False, batch_first=True).double()
+    with torch.no_grad():
+        for l in range(3):
+            getattr(net, f"weight_ih_l{l}").copy_(
+                sd[f"lstm.weight_ih_l{l}"].double())
+            getattr(net, f"weight_hh_l{l}").copy_(
+                sd[f"lstm.weight_hh_l{l}"].double())
+    x = np.random.default_rng(1).uniform(-1, 1, (4, 10, 5))
+    with torch.no_grad():
+        h, _ = net(torch.tensor(x))
+        expect = (h[:, -1] @ sd["fc.weight"].double().T
+                  + sd["fc.bias"].double()).numpy()
+    got = np.asarray(lstm.apply(params, jnp.asarray(x)))
+    np.testing.assert_allclose(got, expect, rtol=0, atol=1e-10)
+
+
+def test_scaler_from_sklearn_all_kinds():
+    sk_pre = pytest.importorskip("sklearn.preprocessing")
+    from forging_control_tpu.nn import torch_compat
+
+    x = np.random.default_rng(2).normal(3.0, 2.0, (100, 4))
+    for cls in (sk_pre.MaxAbsScaler, sk_pre.MinMaxScaler,
+                sk_pre.StandardScaler, sk_pre.RobustScaler):
+        sk = cls().fit(x)
+        ours = torch_compat.scaler_from_sklearn(sk)
+        np.testing.assert_allclose(np.asarray(ours.transform(jnp.asarray(x))),
+                                   sk.transform(x), rtol=0, atol=1e-12)
+        np.testing.assert_allclose(
+            np.asarray(ours.inverse(ours.transform(jnp.asarray(x)))), x,
+            rtol=0, atol=1e-9)
