@@ -28,14 +28,15 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 
-def measure(horizon, batch, steps, preset, linsolve, reps=3):
+def measure(horizon, batch, steps, preset, linsolve, reps=3, unroll=None):
     from forging_control_tpu.loop import closed_loop as cl
     from forging_control_tpu.refgen import streams
     from forging_control_tpu.solver import sqp
 
     dtype = jnp.float32
     make = sqp.MPCConfig.fast if preset == "fast" else sqp.MPCConfig
-    ctrl = cl.MPCController(make(horizon=horizon, variant="smooth"),
+    kw = {} if unroll is None else {"scan_unroll": unroll}
+    ctrl = cl.MPCController(make(horizon=horizon, variant="smooth", **kw),
                             linsolve=linsolve)
     loop_cfg = cl.LoopConfig(t_steps=steps, variant="smooth")
     refs = streams.sample_references(jax.random.PRNGKey(0), batch,
@@ -54,7 +55,7 @@ def measure(horizon, batch, steps, preset, linsolve, reps=3):
         best = min(best, time.perf_counter() - t0)
     solves_s = batch * steps / best
     return {"horizon": horizon, "batch": batch, "path": linsolve or "vmap",
-            "preset": preset, "wall_s": round(best, 4),
+            "unroll": unroll, "preset": preset, "wall_s": round(best, 4),
             "solves_per_s": round(solves_s, 1),
             "compile_s": round(compile_s, 1)}
 
@@ -67,13 +68,16 @@ def main():
     ap.add_argument("--preset", default="default")
     ap.add_argument("--paths", nargs="+",
                     default=["vmap", "unrolled", "pallas"])
+    ap.add_argument("--unroll", type=int, default=None,
+                    help="override MPCConfig.scan_unroll (horizon rollout)")
     args = ap.parse_args()
 
     for N in args.horizons:
         for B in args.batches:
             for path in args.paths:
                 linsolve = None if path == "vmap" else path
-                rec = measure(N, B, args.steps, args.preset, linsolve)
+                rec = measure(N, B, args.steps, args.preset, linsolve,
+                              unroll=args.unroll)
                 print(json.dumps(rec), flush=True)
 
 
