@@ -50,6 +50,44 @@ def apply(params, x, width_dim=1):
     return jnp.clip(out, -1.0, 1.0)  # nn.Hardtanh()
 
 
+def init_simulator(key, input_dim, hidden_dim, output_dim, width_dim=1,
+                   bias=False, dtype=jnp.float32):
+    """General-purpose FNN head, parity with ``FNNSimulator``
+    (``Unsupervised Learning/Model_NN/Functions.py:186-249``): Tanh
+    activations, bias-free by default, no output clamp, weight-shared
+    intermediate layer.  torch's default Linear init (Kaiming-uniform
+    U(-1/sqrt(fan_in), 1/sqrt(fan_in)))."""
+    ks = jax.random.split(key, 6)
+
+    def kaiming_uniform(k, fan_in, fan_out):
+        bound = 1.0 / jnp.sqrt(jnp.asarray(fan_in, dtype))
+        return jax.random.uniform(k, (fan_in, fan_out), dtype, -bound, bound)
+
+    params = {
+        "w_in": kaiming_uniform(ks[0], input_dim, hidden_dim),
+        "w_int": kaiming_uniform(ks[1], hidden_dim, hidden_dim),
+        "w_out": kaiming_uniform(ks[2], hidden_dim, output_dim),
+    }
+    if bias:
+        params["b_in"] = kaiming_uniform(ks[3], input_dim, hidden_dim)[0]
+        params["b_int"] = kaiming_uniform(ks[4], hidden_dim, hidden_dim)[0]
+        params["b_out"] = kaiming_uniform(ks[5], hidden_dim, output_dim)[0]
+    return params, {"width_dim": width_dim}
+
+
+def apply_simulator(params, x, width_dim=1):
+    """Forward pass of the FNNSimulator head; no output constraint."""
+    def lin(name, h):
+        out = h @ params[f"w_{name}"]
+        b = params.get(f"b_{name}")
+        return out if b is None else out + b
+
+    h = jnp.tanh(lin("in", x))
+    for _ in range(width_dim - 1):  # weight-shared intermediate layer
+        h = jnp.tanh(lin("int", h))
+    return lin("out", h)
+
+
 def make_policy(params, in_scaler, out_scaler, width_dim=1, lb=None, ub=None):
     """Closed-loop policy u = g(x_meas, ref, u_prev).
 

@@ -75,6 +75,36 @@ def test_fnn_width_dim_weight_sharing():
     assert not np.allclose(np.array(o1), np.array(o3))
 
 
+def test_fnn_simulator_matches_torch():
+    """Forward parity against a torch replica of FNNSimulator
+    (Unsupervised Learning/Model_NN/Functions.py:186-249): Tanh,
+    bias=False, weight-shared intermediate layer, no output clamp."""
+    import torch
+    params, _ = fnn.init_simulator(
+        jax.random.PRNGKey(3), 5, 32, 4, dtype=jnp.float64)
+
+    fc_in = torch.nn.Linear(5, 32, bias=False).double()
+    fc_int = torch.nn.Linear(32, 32, bias=False).double()
+    fc_out = torch.nn.Linear(32, 4, bias=False).double()
+    with torch.no_grad():
+        fc_in.weight.copy_(torch.tensor(np.array(params["w_in"]).T))
+        fc_int.weight.copy_(torch.tensor(np.array(params["w_int"]).T))
+        fc_out.weight.copy_(torch.tensor(np.array(params["w_out"]).T))
+    x = np.random.RandomState(7).randn(16, 5)
+    with torch.no_grad():
+        h = torch.tanh(fc_in(torch.tensor(x)))
+        h = torch.tanh(fc_int(h))
+        h = torch.tanh(fc_int(h))
+        want = fc_out(h)
+    got = fnn.apply_simulator(params, jnp.array(x), width_dim=3)
+    np.testing.assert_allclose(np.array(got), want.numpy(), rtol=1e-6,
+                               atol=1e-7)
+    # unconstrained output: values outside [-1, 1] must survive
+    big = fnn.apply_simulator(
+        {k: 10.0 * v for k, v in params.items()}, jnp.array(x))
+    assert np.abs(np.array(big)).max() > 1.0
+
+
 # ---------------------------------------------------------------- LSTM
 
 def test_lstm_matches_torch():
