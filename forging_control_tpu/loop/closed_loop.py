@@ -91,6 +91,11 @@ class MPCController:
 
     @property
     def supports_batch(self) -> bool:
+        # The iLQR backend is explicit-batch by construction
+        # (riccati.solve_batch); the condensed SQP has a fused batch path
+        # when a batch-level linear solver is selected.
+        if self.backend == "ilqr":
+            return True
         return self.linsolve is not None and self.backend == "sqp"
 
     def init_carry(self, dtype):
@@ -103,12 +108,15 @@ class MPCController:
         return u0, new_state, diag
 
     def init_carry_batch(self, n_batch, dtype):
-        state = sqp.init_state(self.cfg, dtype)
+        state = self._mod().init_state(self.cfg, dtype)
         return jax.tree.map(
             lambda a: jnp.broadcast_to(a, (n_batch,) + a.shape), state)
 
     def step_batch(self, carry, x_meas, ref, u_prev):
-        shifted = jax.vmap(sqp.shift_state)(carry)
+        mod = self._mod()
+        shifted = jax.vmap(mod.shift_state)(carry)
+        if self.backend == "ilqr":
+            return mod.solve_batch(self.cfg, x_meas, ref, u_prev, shifted)
         return sqp.solve_batch(self.cfg, x_meas, ref, u_prev, shifted,
                                linsolve=self.linsolve)
 

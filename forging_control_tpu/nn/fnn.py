@@ -59,19 +59,20 @@ def init_simulator(key, input_dim, hidden_dim, output_dim, width_dim=1,
     U(-1/sqrt(fan_in), 1/sqrt(fan_in)))."""
     ks = jax.random.split(key, 6)
 
-    def kaiming_uniform(k, fan_in, fan_out):
+    def kaiming_uniform(k, fan_in, shape):
         bound = 1.0 / jnp.sqrt(jnp.asarray(fan_in, dtype))
-        return jax.random.uniform(k, (fan_in, fan_out), dtype, -bound, bound)
+        return jax.random.uniform(k, shape, dtype, -bound, bound)
 
     params = {
-        "w_in": kaiming_uniform(ks[0], input_dim, hidden_dim),
-        "w_int": kaiming_uniform(ks[1], hidden_dim, hidden_dim),
-        "w_out": kaiming_uniform(ks[2], hidden_dim, output_dim),
+        "w_in": kaiming_uniform(ks[0], input_dim, (input_dim, hidden_dim)),
+        "w_int": kaiming_uniform(ks[1], hidden_dim, (hidden_dim, hidden_dim)),
+        "w_out": kaiming_uniform(ks[2], hidden_dim, (hidden_dim, output_dim)),
     }
     if bias:
-        params["b_in"] = kaiming_uniform(ks[3], input_dim, hidden_dim)[0]
-        params["b_int"] = kaiming_uniform(ks[4], hidden_dim, hidden_dim)[0]
-        params["b_out"] = kaiming_uniform(ks[5], hidden_dim, output_dim)[0]
+        # torch Linear bias init: U(-1/sqrt(fan_in), 1/sqrt(fan_in)).
+        params["b_in"] = kaiming_uniform(ks[3], input_dim, (hidden_dim,))
+        params["b_int"] = kaiming_uniform(ks[4], hidden_dim, (hidden_dim,))
+        params["b_out"] = kaiming_uniform(ks[5], hidden_dim, (output_dim,))
     return params, {"width_dim": width_dim}
 
 

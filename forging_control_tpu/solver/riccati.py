@@ -1,4 +1,4 @@
-"""AL-iLQR solver backend — Riccati-structured MPC.
+"""AL-iLQR solver backend — batched Riccati-structured MPC.
 
 Second, independent solver backend beside the condensed GN-SQP
 (``solver/sqp.py``).  Same NLP (do-mpc objective + pressure bounds; see
@@ -10,9 +10,11 @@ KKT system the reference hands to MA27/MUMPS.
 Why keep both:
 * cross-validation — two independent solvers agreeing on the recorded
   IPOPT sequences is a strong correctness signal (tests/test_riccati.py);
-* scaling — the Riccati recursion is O(N) in 6x6 blocks, the natural
-  shape for long horizons and parallel-scan extensions; the condensed
-  solver wins at N <= 25.
+* scaling — the Riccati recursion is O(N) per iteration in 6x6 blocks vs
+  the condensed solver's O(N^2) Jacobian rollout, so it owns the long
+  horizons: this backend is what makes the Generate-Data flagship config
+  (N=25, ``/root/reference/Generate Data/template_mpc.py:20``) run at TPU
+  throughput instead of the condensed path's compile-bound crawl.
 
 Exact formulation (no approximation of the du coupling): augmented state
 ``z = [x (5), w]`` with ``w`` = previously applied *scaled* input, control
@@ -22,9 +24,21 @@ Exact formulation (no approximation of the du coupling): augmented state
     lf(z_N)   = (y_dot - ref)^2 + AL(c(x))
 
 which reproduces the do-mpc objective exactly (lterm over stages 1..N-1,
-mterm at N, rterm on scaled du including the u_prev link).  Gauss-Newton
-(iLQR) quadraticization from stage residuals, augmented Lagrangian for the
+mterm at N, rterm on scaled du including the u_prev link;
+``Generate Data/template_mpc.py:44-50``).  Gauss-Newton (iLQR)
+quadraticization from stage residuals, augmented Lagrangian for the
 pressure bounds, branch-free forward line search, shift warm start.
+
+Everything is written explicit-batch (:func:`solve_batch`): the scans run
+over the horizon only, every per-stage operation carries the full scenario
+batch, so the batch axis lands on the VPU lanes and the 6x6 block algebra
+runs as batched contractions.  The per-iteration structure avoids repeated
+rollouts entirely: the accepted line-search trajectory is carried to the
+next iteration's linearization, so one iteration costs one linearization
+sweep (7 tangents) plus one multi-alpha forward sweep — no separate
+rollout or cost evaluation passes.  Convergence is masked per scenario
+(fixed iteration count, no-op once the dual infeasibility ``max_k |Q_v|``
+drops below ``cfg.tol_grad``), matching the condensed solver's semantics.
 """
 
 from __future__ import annotations
@@ -39,10 +53,15 @@ from ..physics import press
 from ..physics.scaling import U_SCALE
 from .sqp import Diagnostics, MPCConfig, _P_SCALE
 
+# Forward line-search ladder on the feedforward term.  Small trailing
+# alphas matter near the cavitation transient where the Gauss-Newton model
+# is locally poor; measured on the golden recordings (tests/test_riccati.py).
+_ALPHAS = (1.0, 0.5, 0.1, 0.02)
+
 
 class ILQRState(NamedTuple):
-    v: jax.Array     # (N,) scaled input trajectory (warm start)
-    lam: jax.Array   # (N, nc) AL multipliers, stage-major
+    v: jax.Array     # (..., N) scaled input trajectory (warm start)
+    lam: jax.Array   # (..., N, nc) AL multipliers, stage-major
 
 
 def _nc(cfg: MPCConfig) -> int:
@@ -55,203 +74,266 @@ def init_state(cfg: MPCConfig, dtype=jnp.float32) -> ILQRState:
 
 
 def shift_state(state: ILQRState) -> ILQRState:
-    return ILQRState(v=jnp.concatenate([state.v[1:], state.v[-1:]]),
-                     lam=state.lam)
+    return ILQRState(
+        v=jnp.concatenate([state.v[..., 1:], state.v[..., -1:]], axis=-1),
+        lam=state.lam)
 
 
 def _plant_step(cfg: MPCConfig, x, v_k):
+    """One control period of the prediction model; broadcasts over batch."""
     def f(xx, uu):
         return press.rhs(xx, uu, cfg.params, cfg.variant)
     return rk4_step(f, x, v_k * U_SCALE, cfg.dt, cfg.substeps)
 
 
 def _aug_step(cfg: MPCConfig, z, v_k):
-    x_next = _plant_step(cfg, z[:5], v_k)
-    return jnp.concatenate([x_next, v_k[None]])
+    """Augmented dynamics z+ = [F(x, v), v], shapes (..., 6) / (...,)."""
+    x_next = _plant_step(cfg, z[..., :5], v_k)
+    return jnp.concatenate([x_next, v_k[..., None]], axis=-1)
 
 
 def _constraints(cfg: MPCConfig, x):
+    """Pressure inequalities c(x) >= 0 in scaled units, shape (..., nc)."""
     lo = cfg.p_min / _P_SCALE
-    cons = [x[2] / _P_SCALE - lo, x[3] / _P_SCALE - lo]
+    cons = [x[..., 2] / _P_SCALE - lo, x[..., 3] / _P_SCALE - lo]
     if cfg.p_max is not None:
         hi = cfg.p_max / _P_SCALE
-        cons += [hi - x[2] / _P_SCALE, hi - x[3] / _P_SCALE]
-    return jnp.stack(cons)
+        cons += [hi - x[..., 2] / _P_SCALE, hi - x[..., 3] / _P_SCALE]
+    return jnp.stack(cons, axis=-1)
 
 
-def _stage_res(cfg: MPCConfig, z, v, ref, lam_k, mu, tracked: bool):
-    """GN residual vector of l_k at (z, v); ``tracked`` statically gates
-    the k>=1 tracking/constraint terms."""
-    parts = [jnp.sqrt(cfg.rterm) * (v - z[5])[None]]
-    if tracked:
-        parts.append((z[1] - ref)[None])
-        c = _constraints(cfg, z[:5])
-        parts.append(jnp.sqrt(mu / 2.0) * jnp.maximum(lam_k / mu - c, 0.0))
-    return jnp.concatenate(parts)
+def _stage_res(cfg: MPCConfig, z, v, ref, lam_k, mu):
+    """Stage residual [sqrt(rterm) du, (y_dot - ref), AL constraint terms],
+    broadcasting over leading axes; the k=0 mask is applied by callers."""
+    c = _constraints(cfg, z[..., :5])
+    du = jnp.sqrt(cfg.rterm) * (v - z[..., 5])
+    tr = z[..., 1] - ref
+    rc = jnp.sqrt(mu / 2.0) * jnp.maximum(lam_k / mu - c, 0.0)
+    return jnp.concatenate([du[..., None], tr[..., None], rc], axis=-1)
 
 
 def _terminal_res(cfg: MPCConfig, z, ref, lam_k, mu):
-    c = _constraints(cfg, z[:5])
-    return jnp.concatenate([
-        (z[1] - ref)[None],
-        jnp.sqrt(mu / 2.0) * jnp.maximum(lam_k / mu - c, 0.0)])
+    c = _constraints(cfg, z[..., :5])
+    tr = z[..., 1] - ref
+    rc = jnp.sqrt(mu / 2.0) * jnp.maximum(lam_k / mu - c, 0.0)
+    return jnp.concatenate([tr[..., None], rc], axis=-1)
 
 
-def _rollout(cfg: MPCConfig, x0, u_prev_s, v):
-    z0 = jnp.concatenate([x0, u_prev_s[None]])
+def _res_mask(cfg: MPCConfig, dtype):
+    """Stage-0 mask: only the du residual is live (no tracking/constraint
+    terms at the (fixed) initial state)."""
+    return jnp.concatenate([jnp.ones((1,), dtype),
+                            jnp.zeros((1 + _nc(cfg),), dtype)])
+
+
+def _rollout_batch(cfg: MPCConfig, x0, u_prev_s, v):
+    """Departure states z_0..z_{N-1} (B, N, 6) and terminal z_N (B, 6)."""
+    z0 = jnp.concatenate([x0, u_prev_s[:, None]], axis=-1)
 
     def body(z, v_k):
-        z_next = _aug_step(cfg, z, v_k)
-        return z_next, z
+        return _aug_step(cfg, z, v_k), z
 
-    zN, zs = jax.lax.scan(body, z0, v)
-    return zs, zN  # departure states z_0..z_{N-1}, terminal z_N
-
-
-def _total_cost(cfg: MPCConfig, x0, ref, u_prev_s, v, lam, mu):
-    zs, zN = _rollout(cfg, x0, u_prev_s, v)
-
-    def stage_cost(k, z, v_k, lam_k):
-        r0 = _stage_res(cfg, z, v_k, ref, lam_k, mu, tracked=True)
-        r_untracked = _stage_res(cfg, z, v_k, ref, lam_k, mu, tracked=False)
-        full = jnp.sum(r0**2)
-        duonly = jnp.sum(r_untracked**2)
-        return jnp.where(k == 0, duonly, full)
-
-    ks = jnp.arange(cfg.horizon)
-    lam_dep = jnp.concatenate([jnp.zeros((1, _nc(cfg)), lam.dtype), lam[:-1]])
-    costs = jax.vmap(stage_cost)(ks, zs, v, lam_dep)
-    rN = _terminal_res(cfg, zN, ref, lam[-1], mu)
-    return jnp.sum(costs) + jnp.sum(rN**2)
+    zN, zs = jax.lax.scan(body, z0, jnp.moveaxis(v, 0, 1))
+    return jnp.moveaxis(zs, 0, 1), zN
 
 
-def solve(cfg: MPCConfig, x0, ref, u_prev, state: ILQRState):
-    """One MPC solve via AL-iLQR.  Mirrors sqp.solve's signature."""
+def _lam_dep(lam):
+    """Multipliers for stage-k departure constraints: stage k >= 1 uses
+    lam[k-1] (constraints at the arrival of step k-1); k=0 is masked."""
+    B, N, nc = lam.shape
+    return jnp.concatenate([jnp.zeros((B, 1, nc), lam.dtype), lam[:, :-1]],
+                           axis=1)
+
+
+def solve_batch(cfg: MPCConfig, x0, ref, u_prev, state: ILQRState):
+    """B scenarios of one MPC solve via AL-iLQR, in one program.
+
+    Args:
+      x0: (B, 5) measured states (physical units).
+      ref: (B,) speed references (held over the horizon).
+      u_prev: (B,) previously applied inputs (physical units).
+      state: warm start; ``v`` (B, N), ``lam`` (B, N, nc).
+
+    Returns (u0 (B,), new ILQRState, Diagnostics with (B,) leaves).
+    Semantically ``jax.vmap(solve)`` (pinned by tests/test_riccati.py);
+    the batch is explicit so every 6x6 block contraction and line-search
+    sweep runs batch-wide on the VPU.
+    """
     dtype = state.v.dtype
+    B, N = state.v.shape
+    nc = _nc(cfg)
     x0 = x0.astype(dtype)
     ref = jnp.asarray(ref, dtype)
     u_prev_s = jnp.asarray(u_prev, dtype) / U_SCALE
-    N = cfg.horizon
-    nc = _nc(cfg)
-    eye6 = jnp.eye(6, dtype=dtype)
+    alphas = jnp.asarray(_ALPHAS, dtype)
+    A_n = len(_ALPHAS)
+    mask0 = _res_mask(cfg, dtype)
+    eye7 = jnp.eye(7, dtype=dtype)
 
-    # Multipliers for stage-k departure constraints: stage k >= 1 uses
-    # lam[k-1] (constraints at arrival of step k-1); terminal uses lam[N-1].
-    def lam_dep(lam):
-        return jnp.concatenate([jnp.zeros((1, nc), dtype), lam[:-1]])
+    def stage_lin(z, v_k, ref_i, lam_k, mu):
+        """Primal + full Jacobian of (dynamics, residual) in one 7-tangent
+        linearization sweep."""
+        def g(zv):
+            zz, vv = zv[:6], zv[6]
+            z_next = _aug_step(cfg, zz, vv)
+            r = _stage_res(cfg, zz, vv, ref_i, lam_k, mu)
+            return jnp.concatenate([z_next, r])
 
-    def ilqr_iter(carry, _):
-        v, lam, mu, it_used, d_norm = carry
+        out, jvp = jax.linearize(g, jnp.concatenate([z, v_k[None]]))
+        Jrows = jax.vmap(jvp)(eye7)        # row i = dg/d zv_i, shape (7, 6+nr)
+        A = Jrows[:6, :6].T                # dz+/dz (6, 6)
+        Bv = Jrows[6, :6]                  # dz+/dv (6,)
+        Jz = Jrows[:6, 6:].T               # dr/dz (nr, 6)
+        Jv = Jrows[6, 6:]                  # dr/dv (nr,)
+        return out[6:], A, Bv, Jz, Jv
 
-        zs, zN = _rollout(cfg, x0, u_prev_s, v)
-        ld = lam_dep(lam)
+    lin_all = jax.vmap(jax.vmap(stage_lin, in_axes=(0, 0, None, 0, None)),
+                       in_axes=(0, 0, 0, 0, None))
 
-        # Per-stage linearization (vmapped): dynamics + GN cost blocks.
-        def stage_blocks(k, z, v_k, lam_k):
-            A = jax.jacfwd(lambda zz: _aug_step(cfg, zz, v_k))(z)      # (6,6)
-            B = jax.jacfwd(lambda vv: _aug_step(cfg, z, vv))(v_k)      # (6,)
+    def term_lin(zN, ref_i, lam_N, mu):
+        def gT(zz):
+            return _terminal_res(cfg, zz, ref_i, lam_N, mu)
+        rN, jvp = jax.linearize(gT, zN)
+        Jrows = jax.vmap(jvp)(jnp.eye(6, dtype=dtype))  # (6, 1+nc)
+        return rN, Jrows.T                               # JzN (1+nc, 6)
 
-            def res_tracked(zz, vv):
-                return _stage_res(cfg, zz, vv, ref, lam_k, mu, True)
+    term_all = jax.vmap(term_lin, in_axes=(0, 0, 0, None))
 
-            def res_plain(zz, vv):
-                full = _stage_res(cfg, zz, vv, ref, lam_k, mu, True)
-                # zero out tracked terms for k = 0 (same shape, masked)
-                mask = jnp.concatenate([
-                    jnp.ones((1,), dtype),
-                    jnp.zeros((1 + nc,), dtype)])
-                return full * mask
+    def gn_iter(carry, _):
+        v, zs, zN, lam, mu, it_used, d_norm, inf_du, alpha_l = carry
+        ld = _lam_dep(lam)
 
-            r_t = res_tracked(z, v_k)
-            r_p = res_plain(z, v_k)
-            Jz_t = jax.jacfwd(res_tracked, 0)(z, v_k)
-            Jv_t = jax.jacfwd(res_tracked, 1)(z, v_k)
-            Jz_p = jax.jacfwd(res_plain, 0)(z, v_k)
-            Jv_p = jax.jacfwd(res_plain, 1)(z, v_k)
-            is0 = (k == 0)
-            r = jnp.where(is0, r_p, r_t)
-            Jz = jnp.where(is0, Jz_p, Jz_t)
-            Jv = jnp.where(is0, Jv_p, Jv_t)
-            return A, B, (2 * Jz.T @ r, 2 * jnp.dot(Jv, r),
-                          2 * Jz.T @ Jz, 2 * jnp.dot(Jv, Jv), 2 * Jv @ Jz)
+        r, Amat, Bv, Jz, Jv = lin_all(zs, v, ref, ld, mu)   # (B,N,...)
+        # Stage-0 mask: zero the tracking/constraint residual rows (and
+        # their Jacobians) at k=0.
+        m = jnp.concatenate([mask0[None], jnp.ones((N - 1, r.shape[-1]),
+                                                   dtype)])  # (N, nr)
+        r = r * m
+        Jz = Jz * m[None, :, :, None]
+        Jv = Jv * m[None]
 
+        rN, JzN = term_all(zN, ref, lam[:, -1], mu)
+        cost0 = jnp.sum(r * r, axis=(1, 2)) + jnp.sum(rN * rN, axis=1)
+
+        # Gauss-Newton blocks per (b, k).
+        lz = 2.0 * jnp.einsum("bkri,bkr->bki", Jz, r)
+        lv = 2.0 * jnp.einsum("bkr,bkr->bk", Jv, r)
+        Lzz = 2.0 * jnp.einsum("bkri,bkrj->bkij", Jz, Jz)
+        Lvv = 2.0 * jnp.einsum("bkr,bkr->bk", Jv, Jv)
+        Lvz = 2.0 * jnp.einsum("bkr,bkri->bki", Jv, Jz)
+        VzN = 2.0 * jnp.einsum("bri,br->bi", JzN, rN)
+        VzzN = 2.0 * jnp.einsum("bri,brj->bij", JzN, JzN)
+
+        # Backward Riccati sweep (stage-major scan; batch stays in lanes).
+        def backward(c_, inp):
+            Vz, Vzz, qmax = c_
+            A_k, B_k, lz_k, lv_k, Lzz_k, Lvv_k, Lvz_k = inp
+            Qz = lz_k + jnp.einsum("bji,bj->bi", A_k, Vz)
+            Qv = lv_k + jnp.einsum("bj,bj->b", B_k, Vz)
+            T = jnp.einsum("bji,bjk->bik", A_k, Vzz)
+            Qzz = Lzz_k + jnp.einsum("bik,bkl->bil", T, A_k)
+            VB = jnp.einsum("bjk,bk->bj", Vzz, B_k)
+            Qvv = Lvv_k + jnp.einsum("bj,bj->b", B_k, VB) + cfg.lm_reg
+            Qvz = Lvz_k + jnp.einsum("bj,bji->bi", VB, A_k)
+            kg = -Qv / Qvv
+            Kg = -Qvz / Qvv[:, None]
+            Vz_n = Qz + Kg * Qv[:, None] + Qvz * kg[:, None] \
+                + Kg * (Qvv * kg)[:, None]
+            Vzz_n = Qzz + Kg[:, :, None] * Qvz[:, None, :] \
+                + Qvz[:, :, None] * Kg[:, None, :] \
+                + Qvv[:, None, None] * Kg[:, :, None] * Kg[:, None, :]
+            return (Vz_n, Vzz_n, jnp.maximum(qmax, jnp.abs(Qv))), (kg, Kg)
+
+        sm = lambda a: jnp.moveaxis(a, 1, 0)  # (B, N, ...) -> (N, B, ...)
+        (_, _, qmax), (kgs, Kgs) = jax.lax.scan(
+            backward, (VzN, VzzN, jnp.zeros((B,), dtype)),
+            (sm(Amat), sm(Bv), sm(lz), sm(lv), sm(Lzz), sm(Lvv), sm(Lvz)),
+            reverse=True)  # kgs (N, B), Kgs (N, B, 6)
+
+        converged = qmax < cfg.tol_grad
+
+        # Forward pass: all alphas in one sweep, costs accumulated in-line.
         ks = jnp.arange(N)
-        As, Bs, (lzs, lvs, Lzzs, Lvvs, Lvzs) = jax.vmap(stage_blocks)(
-            ks, zs, v, ld)
 
-        # Terminal value model from terminal residuals.
-        rN = _terminal_res(cfg, zN, ref, lam[-1], mu)
-        JzN = jax.jacfwd(lambda zz: _terminal_res(cfg, zz, ref, lam[-1], mu))(zN)
-        VzN = 2 * JzN.T @ rN
-        VzzN = 2 * JzN.T @ JzN
+        def forward(c_, inp):
+            z, cost = c_                       # z (A, B, 6), cost (A, B)
+            v_k, kg, Kg, z_nom, ld_k, k = inp
+            v_new = v_k[None] + alphas[:, None] * kg[None] \
+                + jnp.einsum("bi,abi->ab", Kg, z - z_nom[None])
+            r_k = _stage_res(cfg, z, v_new, ref[None], ld_k[None], mu)
+            r_k = jnp.where(k == 0, r_k * mask0, r_k)
+            cost = cost + jnp.sum(r_k * r_k, axis=-1)
+            z_next = _aug_step(cfg, z, v_new)
+            return (z_next, cost), (v_new, z)
 
-        cost0 = _total_cost(cfg, x0, ref, u_prev_s, v, lam, mu)
+        z0 = jnp.concatenate([x0, u_prev_s[:, None]], axis=-1)
+        z0a = jnp.broadcast_to(z0[None], (A_n, B, 6))
+        (z_fin, costs), (v_cand, z_cand) = jax.lax.scan(
+            forward, (z0a, jnp.zeros((A_n, B), dtype)),
+            (sm(v), kgs, Kgs, sm(zs), sm(ld), ks))
+        rNc = _terminal_res(cfg, z_fin, ref[None], lam[None, :, -1], mu)
+        costs = costs + jnp.sum(rNc * rNc, axis=-1)        # (A, B)
 
-        # Backward Riccati sweep.
-        def backward(carry_, inp):
-            Vz, Vzz = carry_
-            A, B, lz, lv, Lzz, Lvv, Lvz = inp
-            Qz = lz + A.T @ Vz
-            Qv = lv + jnp.dot(B, Vz)
-            Qzz = Lzz + A.T @ Vzz @ A
-            Qvv = Lvv + jnp.dot(B, Vzz @ B) + cfg.lm_reg
-            Qvz = Lvz + B @ Vzz @ A
-            k_g = -Qv / Qvv
-            K_g = -Qvz / Qvv
-            Vz_new = Qz + K_g * Qv + Qvz * k_g + K_g * (Qvv * k_g)
-            Vzz_new = Qzz + jnp.outer(K_g, Qvz) + jnp.outer(Qvz, K_g) \
-                + Qvv * jnp.outer(K_g, K_g)
-            return (Vz_new, Vzz_new), (k_g, K_g)
+        best = jnp.argmin(costs, axis=0)                   # (B,)
+        bidx = jnp.arange(B)
+        v_best = jnp.moveaxis(v_cand[:, best, bidx], 0, -1)       # (B, N)
+        zs_best = jnp.moveaxis(z_cand[:, best, bidx], 0, 1)       # (B, N, 6)
+        zN_best = z_fin[best, bidx]                               # (B, 6)
+        c_best = costs[best, bidx]
 
-        (_, _), (kgs, Kgs) = jax.lax.scan(
-            backward, (VzN, VzzN),
-            (As, Bs, lzs, lvs, Lzzs, Lvvs, Lvzs), reverse=True)
-
-        # Forward pass with step-size ladder on the feedforward term.
-        def forward(alpha):
-            def fwd(z, inp):
-                v_k, k_g, K_g, z_nom = inp
-                v_new = v_k + alpha * k_g + K_g @ (z - z_nom)
-                z_next = _aug_step(cfg, z, v_new)
-                return z_next, v_new
-
-            z0 = jnp.concatenate([x0, u_prev_s[None]])
-            _, v_new = jax.lax.scan(fwd, z0, (v, kgs, Kgs, zs))
-            return _total_cost(cfg, x0, ref, u_prev_s, v_new, lam, mu), v_new
-
-        pairs = [forward(a) for a in (1.0, 0.5, 0.1, 0.02)]
-        costs = jnp.stack([c for c, _ in pairs])
-        vs_new = jnp.stack([vv for _, vv in pairs])
-        best = jnp.argmin(costs)
-        take = costs[best] < cost0
-        v_new = jnp.where(take, vs_new[best], v)
-        d_new = jnp.where(take, jnp.linalg.norm(v_new - v), 0.0)
-        return (v_new, lam, mu, it_used + 1, d_new), None
+        take = jnp.logical_and(c_best < cost0, jnp.logical_not(converged))
+        tk = take[:, None]
+        v_n = jnp.where(tk, v_best, v)
+        zs_n = jnp.where(tk[:, :, None], zs_best, zs)
+        zN_n = jnp.where(tk, zN_best, zN)
+        d_n = jnp.where(take, jnp.linalg.norm(v_best - v, axis=-1), 0.0)
+        a_n = jnp.where(take, alphas[best], alpha_l)
+        it_n = it_used + jnp.where(converged, 0, 1)
+        return (v_n, zs_n, zN_n, lam, mu, it_n, d_n, qmax, a_n), None
 
     def al_round(carry, _):
-        carry, _ = jax.lax.scan(ilqr_iter, carry, None, length=cfg.gn_iters)
-        v, lam, mu, it_used, d_norm = carry
-        zs, zN = _rollout(cfg, x0, u_prev_s, v)
-        arr = jnp.concatenate([zs[1:, :5], zN[None, :5]], axis=0)  # x_1..x_N
-        cs = jax.vmap(lambda xx: _constraints(cfg, xx))(arr)
+        carry, _ = jax.lax.scan(gn_iter, carry, None, length=cfg.gn_iters)
+        v, zs, zN, lam, mu, it_used, d_norm, inf_du, alpha_l = carry
+        # Constraints at the arrival states x_1..x_N.
+        arr = jnp.concatenate([zs[:, 1:, :5], zN[:, None, :5]], axis=1)
+        cs = _constraints(cfg, arr)                        # (B, N, nc)
         lam_new = jnp.maximum(lam - mu * cs, 0.0)
-        return (v, lam_new, mu * cfg.mu_factor, it_used, d_norm), None
+        return (v, zs, zN, lam_new, mu * cfg.mu_factor, it_used, d_norm,
+                inf_du, alpha_l), None
 
-    init = (state.v, state.lam, jnp.asarray(cfg.mu0, dtype),
-            jnp.zeros((), jnp.int32), jnp.zeros((), dtype))
-    (v, lam, mu, iters, d_norm), _ = jax.lax.scan(
+    zs0, zN0 = _rollout_batch(cfg, x0, u_prev_s, state.v)
+    init = (state.v, zs0, zN0, state.lam, jnp.asarray(cfg.mu0, dtype),
+            jnp.zeros((B,), jnp.int32), jnp.zeros((B,), dtype),
+            jnp.zeros((B,), dtype), jnp.zeros((B,), dtype))
+    (v, zs, zN, lam, mu, iters, d_norm, inf_du, alpha), _ = jax.lax.scan(
         al_round, init, None, length=cfg.al_iters)
 
-    zs, zN = _rollout(cfg, x0, u_prev_s, v)
-    arr = jnp.concatenate([zs[1:, :5], zN[None, :5]], axis=0)
-    cs = jax.vmap(lambda xx: _constraints(cfg, xx))(arr)
-    zero = jnp.zeros((), dtype)
+    arr = jnp.concatenate([zs[:, 1:, :5], zN[:, None, :5]], axis=1)
+    cs = _constraints(cfg, arr)
+    # True (non-AL) objective from the carried trajectory.
+    tr = jnp.concatenate([zs[:, 1:, 1], zN[:, 1:2]], axis=1) - ref[:, None]
+    dv = v - zs[:, :, 5]
+    obj = jnp.sum(tr * tr, axis=1) + cfg.rterm * jnp.sum(dv * dv, axis=1)
     diag = Diagnostics(
         iters=iters,
-        # true objective: AL terms vanish at lam=0, mu->0
-        obj=_total_cost(cfg, x0, ref, u_prev_s, v,
-                        jnp.zeros_like(lam), jnp.asarray(1e-12, dtype)),
-        inf_pr=jnp.maximum(jnp.max(-cs), 0.0),
-        inf_du=zero, reg=jnp.asarray(cfg.lm_reg, dtype),
-        d_norm=d_norm, mu=mu, alpha=zero)
-    return v[0] * U_SCALE, ILQRState(v=v, lam=lam), diag
+        obj=obj,
+        inf_pr=jnp.maximum(jnp.max(-cs, axis=(1, 2)), 0.0),
+        inf_du=inf_du,
+        reg=jnp.full((B,), cfg.lm_reg, dtype),
+        d_norm=d_norm,
+        mu=jnp.full((B,), mu, dtype),
+        alpha=alpha)
+    return v[:, 0] * U_SCALE, ILQRState(v=v, lam=lam), diag
+
+
+def solve(cfg: MPCConfig, x0, ref, u_prev, state: ILQRState):
+    """One MPC solve via AL-iLQR.  Mirrors sqp.solve's signature; thin
+    B=1 wrapper over :func:`solve_batch`."""
+    dtype = state.v.dtype
+    u0, st, diag = solve_batch(
+        cfg, jnp.asarray(x0)[None], jnp.asarray(ref, dtype)[None],
+        jnp.asarray(u_prev, dtype)[None],
+        ILQRState(v=state.v[None], lam=state.lam[None]))
+    sq = lambda a: jnp.squeeze(a, axis=0)
+    return sq(u0), ILQRState(v=sq(st.v), lam=sq(st.lam)), \
+        jax.tree.map(sq, diag)

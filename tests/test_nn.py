@@ -49,7 +49,7 @@ def test_fnn_shapes_and_clamp():
 def test_fnn_matches_torch():
     """Forward parity against a torch replica of FNNModel
     (Supervised Learning/Functions.py:113-178)."""
-    import torch
+    torch = pytest.importorskip("torch")
     torch.manual_seed(0)
     params, _ = fnn.init(jax.random.PRNGKey(0), dtype=jnp.float64)
 
@@ -79,7 +79,7 @@ def test_fnn_simulator_matches_torch():
     """Forward parity against a torch replica of FNNSimulator
     (Unsupervised Learning/Model_NN/Functions.py:186-249): Tanh,
     bias=False, weight-shared intermediate layer, no output clamp."""
-    import torch
+    torch = pytest.importorskip("torch")
     params, _ = fnn.init_simulator(
         jax.random.PRNGKey(3), 5, 32, 4, dtype=jnp.float64)
 
@@ -105,12 +105,42 @@ def test_fnn_simulator_matches_torch():
     assert np.abs(np.array(big)).max() > 1.0
 
 
+def test_fnn_simulator_bias_matches_torch():
+    """bias=True path: parity against torch Linear WITH bias, and init
+    bounds match torch's U(-1/sqrt(fan_in), 1/sqrt(fan_in))."""
+    torch = pytest.importorskip("torch")
+    params, _ = fnn.init_simulator(
+        jax.random.PRNGKey(4), 5, 32, 4, bias=True, dtype=jnp.float64)
+    assert params["b_in"].shape == (32,)
+    assert np.abs(np.array(params["b_in"])).max() <= 1.0 / np.sqrt(5)
+    assert np.abs(np.array(params["b_out"])).max() <= 1.0 / np.sqrt(32)
+
+    fc_in = torch.nn.Linear(5, 32).double()
+    fc_int = torch.nn.Linear(32, 32).double()
+    fc_out = torch.nn.Linear(32, 4).double()
+    with torch.no_grad():
+        fc_in.weight.copy_(torch.tensor(np.array(params["w_in"]).T))
+        fc_in.bias.copy_(torch.tensor(np.array(params["b_in"])))
+        fc_int.weight.copy_(torch.tensor(np.array(params["w_int"]).T))
+        fc_int.bias.copy_(torch.tensor(np.array(params["b_int"])))
+        fc_out.weight.copy_(torch.tensor(np.array(params["w_out"]).T))
+        fc_out.bias.copy_(torch.tensor(np.array(params["b_out"])))
+    x = np.random.RandomState(11).randn(16, 5)
+    with torch.no_grad():
+        h = torch.tanh(fc_in(torch.tensor(x)))
+        h = torch.tanh(fc_int(h))
+        want = fc_out(h)
+    got = fnn.apply_simulator(params, jnp.array(x), width_dim=2)
+    np.testing.assert_allclose(np.array(got), want.numpy(), rtol=1e-6,
+                               atol=1e-7)
+
+
 # ---------------------------------------------------------------- LSTM
 
 def test_lstm_matches_torch():
     """Forward parity against torch.nn.LSTM(bias=False, 3 layers) +
     last-step linear readout (Model_NN/Functions.py:255-339)."""
-    import torch
+    torch = pytest.importorskip("torch")
     params = lstm.init(jax.random.PRNGKey(0), dtype=jnp.float64)
     tl = torch.nn.LSTM(5, 50, num_layers=3, bias=False, batch_first=True).double()
     with torch.no_grad():
