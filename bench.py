@@ -11,8 +11,10 @@ BASELINE.md).  vs_baseline = ours / 64.9.
 
 Output: ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 
-Env knobs: BENCH_BATCH (default 1024), BENCH_STEPS (default 300),
-BENCH_HORIZON (default 10), BENCH_REPS (default 3).
+Env knobs: BENCH_BATCH (default 4096), BENCH_STEPS (default 300),
+BENCH_HORIZON (default 10), BENCH_REPS (default 3), BENCH_BACKEND
+("ilqr" default — the explicit-batch Riccati path, solver/riccati.py;
+"sqp" for the condensed GN path), BENCH_PRESET ("fast" lowers iterations).
 """
 
 import json
@@ -42,11 +44,13 @@ def main():
     N = int(os.environ.get("BENCH_HORIZON", 10))
     reps = int(os.environ.get("BENCH_REPS", 3))
     preset = os.environ.get("BENCH_PRESET", "default")
+    backend = os.environ.get("BENCH_BACKEND", "ilqr")
     dtype = jnp.float32
 
     loop_cfg = cl.LoopConfig(t_steps=T, variant="smooth")
     make = sqp.MPCConfig.fast if preset == "fast" else sqp.MPCConfig
-    ctrl = cl.MPCController(make(horizon=N, variant="smooth"))
+    ctrl = cl.MPCController(make(horizon=N, variant="smooth"),
+                            backend=backend)
 
     key = jax.random.PRNGKey(0)
     refs = streams.sample_references(key, B, "supervised", t_steps=T,

@@ -2,10 +2,22 @@
 
 Replaces ``NeuralNetwork.{train_model,validate_model,train_loop}``
 (``Supervised Learning/Functions.py:368-630``; unsupervised variant
-``Unsupervised Learning/Functions.py:594-923``).  Each epoch is a sequence
-of jit-compiled update steps; the whole step (forward, loss, backward,
-AdamW update) is one XLA program, so TPU training replaces the reference's
-torch-CPU/CUDA loop wholesale.
+``Unsupervised Learning/Functions.py:594-923``).  Training is fully
+device-resident: the dataset lives on device, and the *entire run* —
+per-epoch shuffle, `lax.scan` over batches, forward/loss/backward/AdamW
+update, per-epoch validation — is one XLA program (scan over epochs x
+scan over batches).  The host syncs once, at the end, to fetch the loss
+curves; there is no per-batch (or even per-epoch) host round-trip.  The
+one exception is closed-loop validation (`closed_loop_val_fn`), which is
+its own jitted program and forces a per-epoch sync when requested.
+
+Batches are drawn by per-epoch `jax.random.permutation`; the trailing
+``n mod batch_size`` rows of each epoch's permutation are dropped so batch
+shapes stay static (every row still trains — the permutation changes per
+epoch).  Pass ``mesh`` to shard each batch over devices: XLA SPMD splits
+the forward/backward and inserts the gradient psum automatically (the
+`shard_map`-based step in ``parallel.data_parallel_update`` is the
+equivalent single-step API).
 
 Hyperparameter defaults mirror the reference USER SETTINGS:
 supervised — L1 loss, AdamW lr=1e-3, bs=256, 20 epochs
@@ -16,6 +28,7 @@ plain MSE (``Unsupervised Learning/Main.py:326-348``).
 
 from __future__ import annotations
 
+import functools
 import time
 from dataclasses import dataclass, field
 from typing import Callable
@@ -25,7 +38,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from . import datasets, fnn, mpc_loss
+from . import fnn, mpc_loss
 
 
 @dataclass
@@ -43,6 +56,157 @@ def l1_loss(pred, target):
 
 def mse_loss(pred, target):
     return jnp.mean(jnp.square(pred - target))
+
+
+def _batch_sharding(mesh):
+    """NamedSharding for the batch axis of a training micro-batch."""
+    if mesh is None:
+        return None
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel.mesh import SCENARIO_AXIS
+    return NamedSharding(mesh, P(SCENARIO_AXIS))
+
+
+def _shard_batch(tree, sharding):
+    if sharding is None:
+        return tree
+
+    def constrain(a):
+        if a.shape[0] % sharding.mesh.size:  # indivisible batch: keep local
+            return a
+        return jax.lax.with_sharding_constraint(a, sharding)
+
+    return jax.tree.map(constrain, tree)
+
+
+def _epoch_perm(key, n, batch_size):
+    """(n_batches, batch_size) shuffled index table; static shapes."""
+    bs = min(batch_size, n)
+    nb = n // bs
+    return jax.random.permutation(key, n)[: nb * bs].reshape(nb, bs)
+
+
+# The compiled training programs are cached at module level (keyed on the
+# static hyperparameters) so multi-seed selection loops reuse one
+# executable instead of re-tracing per seed; jit's own cache then handles
+# distinct dataset shapes.
+
+@functools.cache
+def _supervised_program(lr, weight_decay, loss_fn, width_dim, epochs,
+                        batch_size, sharding):
+    tx = optax.adamw(lr, weight_decay=weight_decay)
+
+    @jax.jit
+    def run(params, opt_state, xt, yt, xv, yv, key):
+        n = xt.shape[0]
+
+        def epoch(carry, ek):
+            p, o = carry
+
+            def body(c, idx):
+                p, o = c
+                xb, yb = _shard_batch((xt[idx], yt[idx]), sharding)
+                l, grads = jax.value_and_grad(
+                    lambda pp: loss_fn(fnn.apply(pp, xb, width_dim), yb))(p)
+                updates, o = tx.update(grads, o, p)
+                return (optax.apply_updates(p, updates), o), l
+
+            (p, o), ls = jax.lax.scan(
+                body, (p, o), _epoch_perm(ek, n, batch_size))
+            vl = loss_fn(fnn.apply(p, xv, width_dim), yv)
+            return (p, o), (jnp.mean(ls), vl)
+
+        keys = jax.random.split(key, epochs)
+        (p, _), (tl, vl) = jax.lax.scan(epoch, (params, opt_state), keys)
+        return p, tl, vl
+
+    return tx, run
+
+
+@functools.cache
+def _unsupervised_program(horizon, alpha, width_dim, lr, weight_decay,
+                          epochs, batch_size, enable_noise, noise_sigma):
+    tx = optax.adamw(lr, weight_decay=weight_decay)
+
+    def epoch_body(p, o, surrogate_params, xt, zt, xv, uv, ek):
+        n = xt.shape[0]
+        perm = _epoch_perm(ek, n, batch_size)
+        bkeys = jax.random.split(jax.random.fold_in(ek, 1), perm.shape[0])
+
+        def body(c, inp):
+            p, o = c
+            idx, bk = inp
+            xb, zb = xt[idx], zt[idx]
+
+            def loss(pp):
+                u_ctrl = fnn.apply(pp, xb, width_dim)
+                l, _ = mpc_loss.mpc_loss(
+                    pp, surrogate_params, xb, u_ctrl, zb,
+                    horizon=horizon, alpha=alpha, width_dim=width_dim,
+                    noise_key=bk if enable_noise else None,
+                    noise_std=noise_sigma)
+                return l
+
+            l, grads = jax.value_and_grad(loss)(p)
+            updates, o = tx.update(grads, o, p)
+            return (optax.apply_updates(p, updates), o), l
+
+        (p, o), ls = jax.lax.scan(body, (p, o), (perm, bkeys))
+        vl = mse_loss(fnn.apply(p, xv, width_dim), uv)
+        return p, o, jnp.mean(ls), vl
+
+    @jax.jit
+    def run(params, opt_state, surrogate_params, xt, zt, xv, uv, key):
+        """Fused whole-run program; best-val params selected inside."""
+        def epoch(carry, ek):
+            p, o, best_p, best_v = carry
+            p, o, tl, vl = epoch_body(p, o, surrogate_params, xt, zt,
+                                      xv, uv, ek)
+            better = vl < best_v
+            best_p = jax.tree.map(
+                lambda a, b: jnp.where(better, a, b), p, best_p)
+            best_v = jnp.minimum(vl, best_v)
+            return (p, o, best_p, best_v), (tl, vl)
+
+        keys = jax.random.split(key, epochs)
+        init = (params, opt_state, params, jnp.asarray(jnp.inf, uv.dtype))
+        (p, _, best_p, _), (tl, vl) = jax.lax.scan(epoch, init, keys)
+        return p, best_p, tl, vl
+
+    return tx, run, jax.jit(epoch_body)
+
+
+@functools.cache
+def _surrogate_program(lr, weight_decay, epochs, batch_size, sharding):
+    from . import lstm as lstm_mod
+    tx = optax.adamw(lr, weight_decay=weight_decay)
+
+    @jax.jit
+    def run(params, opt_state, xt, yt, xv, yv, key):
+        n = xt.shape[0]
+
+        def epoch(carry, ek):
+            p, o = carry
+
+            def body(c, idx):
+                p, o = c
+                xb, yb = _shard_batch((xt[idx], yt[idx]), sharding)
+                l, grads = jax.value_and_grad(
+                    lambda pp: mse_loss(lstm_mod.apply(pp, xb), yb))(p)
+                updates, o = tx.update(grads, o, p)
+                return (optax.apply_updates(p, updates), o), l
+
+            (p, o), ls = jax.lax.scan(
+                body, (p, o), _epoch_perm(ek, n, batch_size))
+            vl = mse_loss(lstm_mod.apply(p, xv), yv)
+            return (p, o), (jnp.mean(ls), vl)
+
+        keys = jax.random.split(key, epochs)
+        (p, _), (tl, vl) = jax.lax.scan(epoch, (params, opt_state), keys)
+        return p, tl, vl
+
+    return tx, run
 
 
 def make_closed_loop_val(in_scaler, u_scaler, *, n_traj: int = 8,
@@ -92,38 +256,27 @@ def make_closed_loop_val(in_scaler, u_scaler, *, n_traj: int = 8,
 def train_supervised(params, x_train, y_train, x_val, y_val, *,
                      width_dim=1, lr=1e-3, weight_decay=1e-2, epochs=20,
                      batch_size=256, loss_fn=l1_loss, seed=0,
-                     log_fn: Callable | None = None):
-    """Supervised imitation trainer (FNN mimics recorded MPC commands)."""
-    tx = optax.adamw(lr, weight_decay=weight_decay)
-    opt_state = tx.init(params)
+                     log_fn: Callable | None = None, mesh=None):
+    """Supervised imitation trainer (FNN mimics recorded MPC commands).
 
-    @jax.jit
-    def update(params, opt_state, xb, yb):
-        def loss(p):
-            return loss_fn(fnn.apply(p, xb, width_dim), yb)
-        l, grads = jax.value_and_grad(loss)(params)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, l
-
-    @jax.jit
-    def evaluate(params, xb, yb):
-        return loss_fn(fnn.apply(params, xb, width_dim), yb)
+    The whole run is one XLA program (see module docstring); ``mesh``
+    opts into data-parallel batch sharding."""
+    tx, run = _supervised_program(lr, weight_decay, loss_fn, width_dim,
+                                  epochs, batch_size, _batch_sharding(mesh))
+    xt, yt = jnp.asarray(x_train), jnp.asarray(y_train)
+    xv, yv = jnp.asarray(x_val), jnp.asarray(y_val)
 
     report = TrainReport()
     t0 = time.time()
-    for epoch in range(epochs):
-        losses = []
-        for xb, yb in datasets.batch_iter((x_train, y_train), batch_size,
-                                          key=seed + epoch):
-            params, opt_state, l = update(params, opt_state,
-                                          jnp.asarray(xb), jnp.asarray(yb))
-            losses.append(float(l))
-        vl = float(evaluate(params, jnp.asarray(x_val), jnp.asarray(y_val)))
-        report.train_losses.append(float(np.mean(losses)))
-        report.val_losses.append(vl)
-        if log_fn:
-            log_fn(epoch, report.train_losses[-1], vl)
+    params, tl, vl = run(params, tx.init(params), xt, yt, xv, yv,
+                         jax.random.PRNGKey(seed))
+    jax.block_until_ready(params)
     report.wall_time_s = time.time() - t0
+    report.train_losses = [float(x) for x in np.asarray(tl)]
+    report.val_losses = [float(x) for x in np.asarray(vl)]
+    if log_fn:
+        for e in range(epochs):
+            log_fn(e, report.train_losses[e], report.val_losses[e])
     return params, report
 
 
@@ -151,53 +304,46 @@ def train_unsupervised(controller_params, surrogate_params,
     milliseconds).  When provided, best-epoch selection uses it and the
     per-epoch values are recorded in ``TrainReport.cl_val_losses``.
     """
-    tx = optax.adamw(lr, weight_decay=weight_decay)
-    opt_state = tx.init(controller_params)
-
-    @jax.jit
-    def update(params, opt_state, xb, zb, key):
-        def loss(p):
-            u_ctrl = fnn.apply(p, xb, width_dim)
-            l, _ = mpc_loss.mpc_loss(
-                p, surrogate_params, xb, u_ctrl, zb,
-                horizon=horizon, alpha=alpha, width_dim=width_dim,
-                noise_key=key if enable_noise else None,
-                noise_std=noise_sigma)
-            return l
-        l, grads = jax.value_and_grad(loss)(params)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, l
-
-    @jax.jit
-    def validate(params, xb, ub):
-        return mse_loss(fnn.apply(params, xb, width_dim), ub)
+    tx, run, epoch_fn = _unsupervised_program(
+        horizon, alpha, width_dim, lr, weight_decay, epochs, batch_size,
+        enable_noise, noise_sigma)
+    xt, ut, zt = map(jnp.asarray, (x_train, u_train, z_train))
+    xv, uv = jnp.asarray(x_val), jnp.asarray(u_val)
 
     report = TrainReport()
-    key = jax.random.PRNGKey(seed)
     t0 = time.time()
-    best_params, best_val = controller_params, float("inf")
-    for epoch in range(epochs):
-        losses = []
-        for xb, ub, zb in datasets.batch_iter((x_train, u_train, z_train),
-                                              batch_size, key=seed + epoch):
-            key, sub = jax.random.split(key)
-            controller_params, opt_state, l = update(
-                controller_params, opt_state, jnp.asarray(xb),
-                jnp.asarray(zb), sub)
-            losses.append(float(l))
-        vl = float(validate(controller_params, jnp.asarray(x_val),
-                            jnp.asarray(u_val)))
-        report.train_losses.append(float(np.mean(losses)))
-        report.val_losses.append(vl)
-        select = vl
-        if closed_loop_val_fn is not None:
+    opt_state = tx.init(controller_params)
+    keys = jax.random.split(jax.random.PRNGKey(seed), epochs)
+
+    if closed_loop_val_fn is None:
+        controller_params, best_params, tl, vl = run(
+            controller_params, opt_state, surrogate_params, xt, zt, xv, uv,
+            jax.random.PRNGKey(seed))
+        jax.block_until_ready(controller_params)
+        report.train_losses = [float(x) for x in np.asarray(tl)]
+        report.val_losses = [float(x) for x in np.asarray(vl)]
+        if log_fn:
+            for e in range(epochs):
+                log_fn(e, report.train_losses[e], report.val_losses[e])
+    else:
+        # Closed-loop selection needs the candidate params on the host per
+        # epoch (its own jitted rollout), so epochs stay host-stepped; the
+        # inner batch loop is still one fused scan.
+        best_params, best_val = controller_params, float("inf")
+        for epoch in range(epochs):
+            controller_params, opt_state, tl, vl = epoch_fn(
+                controller_params, opt_state, surrogate_params, xt, zt,
+                xv, uv, keys[epoch])
+            report.train_losses.append(float(tl))
+            report.val_losses.append(float(vl))
             select = float(closed_loop_val_fn(controller_params))
             report.cl_val_losses.append(select)
-        if select < best_val:
-            best_val = select
-            best_params = jax.tree.map(lambda a: a.copy(), controller_params)
-        if log_fn:
-            log_fn(epoch, report.train_losses[-1], select)
+            if select < best_val:
+                best_val = select
+                best_params = jax.tree.map(lambda a: a.copy(),
+                                           controller_params)
+            if log_fn:
+                log_fn(epoch, report.train_losses[-1], select)
     report.wall_time_s = time.time() - t0
     if keep_best:
         controller_params = best_params
@@ -331,38 +477,24 @@ def train_plant_in_loop(params, in_scaler, u_scaler, *, width_dim=1,
 
 def train_surrogate(params, x_train, y_train, x_val, y_val, *, lr=1e-3,
                     weight_decay=1e-2, epochs=50, batch_size=256, seed=0,
-                    log_fn: Callable | None = None):
+                    log_fn: Callable | None = None, mesh=None):
     """LSTM surrogate trainer: teacher-forced next-step MSE
-    (``Unsupervised Learning/Model_NN/Main.py:224-239``)."""
-    from . import lstm as lstm_mod
-    tx = optax.adamw(lr, weight_decay=weight_decay)
-    opt_state = tx.init(params)
-
-    @jax.jit
-    def update(params, opt_state, xb, yb):
-        def loss(p):
-            return mse_loss(lstm_mod.apply(p, xb), yb)
-        l, grads = jax.value_and_grad(loss)(params)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, l
-
-    @jax.jit
-    def evaluate(params, xb, yb):
-        return mse_loss(lstm_mod.apply(params, xb), yb)
+    (``Unsupervised Learning/Model_NN/Main.py:224-239``).  One fused XLA
+    program for the whole run (see module docstring)."""
+    tx, run = _surrogate_program(lr, weight_decay, epochs, batch_size,
+                                 _batch_sharding(mesh))
+    xt, yt = jnp.asarray(x_train), jnp.asarray(y_train)
+    xv, yv = jnp.asarray(x_val), jnp.asarray(y_val)
 
     report = TrainReport()
     t0 = time.time()
-    for epoch in range(epochs):
-        losses = []
-        for xb, yb in datasets.batch_iter((x_train, y_train), batch_size,
-                                          key=seed + epoch):
-            params, opt_state, l = update(params, opt_state,
-                                          jnp.asarray(xb), jnp.asarray(yb))
-            losses.append(float(l))
-        vl = float(evaluate(params, jnp.asarray(x_val), jnp.asarray(y_val)))
-        report.train_losses.append(float(np.mean(losses)))
-        report.val_losses.append(vl)
-        if log_fn:
-            log_fn(epoch, report.train_losses[-1], vl)
+    params, tl, vl = run(params, tx.init(params), xt, yt, xv, yv,
+                         jax.random.PRNGKey(seed))
+    jax.block_until_ready(params)
     report.wall_time_s = time.time() - t0
+    report.train_losses = [float(x) for x in np.asarray(tl)]
+    report.val_losses = [float(x) for x in np.asarray(vl)]
+    if log_fn:
+        for e in range(epochs):
+            log_fn(e, report.train_losses[e], report.val_losses[e])
     return params, report

@@ -36,6 +36,13 @@ def make_mesh(n_devices: int | None = None, axis: str = SCENARIO_AXIS) -> Mesh:
     return Mesh(np.array(devices), (axis,))
 
 
+def default_mesh(axis: str = SCENARIO_AXIS) -> Mesh | None:
+    """Mesh over all local devices, or None on a single device.  The
+    trainers/pipelines treat None as 'no sharding', so single-chip runs
+    pay zero mesh overhead while multi-device runs go data-parallel."""
+    return make_mesh(axis=axis) if jax.device_count() > 1 else None
+
+
 def shard_scenarios(mesh: Mesh, tree, axis: str = SCENARIO_AXIS):
     """Place each leaf with its leading (batch) dim sharded over the mesh."""
     sharding = NamedSharding(mesh, P(axis))

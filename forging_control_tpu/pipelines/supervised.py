@@ -27,6 +27,7 @@ import numpy as np
 from ..eval import metrics, report
 from ..loop import closed_loop as cl
 from ..nn import datasets, fnn, scalers, train
+from ..parallel import mesh as pmesh
 from ..refgen import streams
 from ..solver import feasibility, sqp
 from .config import PROCESS_STD, SupervisedConfig
@@ -91,7 +92,7 @@ def run(results: dict, cfg: SupervisedConfig = SupervisedConfig(), *,
             p_k, rep_k = train.train_supervised(
                 p0, xtr, ytr, xva, yva, width_dim=cfg.width_dim,
                 lr=cfg.lr, epochs=cfg.epochs, batch_size=cfg.batch_size,
-                seed=s)
+                seed=s, mesh=pmesh.default_mesh())
             score = float(cl_val_fn(p_k)) if cl_val_fn is not None else 0.0
             if best is None or score < best[0]:
                 best = (score, s, p_k, rep_k)

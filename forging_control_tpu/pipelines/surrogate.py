@@ -15,6 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..nn import datasets, lstm, scalers, surrogate_eval, train
+from ..parallel import mesh as pmesh
 from .config import SurrogateConfig
 
 SURROGATE_FEATURES = ("y_dot", "p1", "p2", "z", "u")
@@ -61,7 +62,8 @@ def run(results_list, cfg: SurrogateConfig = SurrogateConfig(), *,
     if cfg.flags.enable_training:
         params, rep = train.train_surrogate(
             params, xtr, ytr, xva, yva, lr=cfg.lr, epochs=cfg.epochs,
-            batch_size=cfg.batch_size, seed=seed)
+            batch_size=cfg.batch_size, seed=seed,
+            mesh=pmesh.default_mesh())
     else:
         rep = train.TrainReport()
 

@@ -79,3 +79,31 @@ def test_data_parallel_update_runs_and_syncs(mesh8):
     for k in want:
         np.testing.assert_allclose(np.array(p2[k]), np.array(want[k]),
                                    rtol=1e-8, atol=1e-10)
+
+
+def test_mesh_sharded_training_matches_unsharded():
+    """train_supervised(mesh=...) shards each batch over the 8-device mesh
+    (XLA SPMD inserts the gradient psum); results must match the unsharded
+    run up to float reduction order."""
+    import numpy as np
+
+    from forging_control_tpu.nn import fnn, train
+    from forging_control_tpu.parallel import mesh as pmesh
+
+    rng = np.random.default_rng(0)
+    xt = rng.uniform(-1, 1, (512, 3))
+    yt = rng.uniform(-1, 1, (512, 1))
+    xv = rng.uniform(-1, 1, (128, 3))
+    yv = rng.uniform(-1, 1, (128, 1))
+    params, _ = fnn.init(jax.random.PRNGKey(0), dtype=jnp.float64)
+
+    p_ref, rep_ref = train.train_supervised(
+        params, xt, yt, xv, yv, epochs=3, batch_size=64, seed=0)
+    p_dp, rep_dp = train.train_supervised(
+        params, xt, yt, xv, yv, epochs=3, batch_size=64, seed=0,
+        mesh=pmesh.default_mesh())
+    for k in p_ref:
+        np.testing.assert_allclose(np.array(p_dp[k]), np.array(p_ref[k]),
+                                   rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(rep_dp.val_losses, rep_ref.val_losses,
+                               rtol=1e-8)
