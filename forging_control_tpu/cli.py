@@ -53,7 +53,8 @@ def cmd_generate(args):
     from .pipelines import generate_data
     cfg = pcfg.GenerateConfig(
         n_traj=args.n_traj, t_traj=args.t_traj, horizon=args.horizon,
-        solver_preset=args.solver_preset, flags=_flags(args))
+        solver_preset=args.solver_preset, record_trace=args.trace,
+        flags=_flags(args))
     telem, results = generate_data.run(
         cfg, seed=args.seed,
         exact_reference_streams=not args.random_refs)
@@ -149,6 +150,9 @@ def main(argv=None):
     g.add_argument("--random-refs", action="store_true")
     g.add_argument("--solver-preset", default="default",
                    choices=["default", "fast", "ipopt_compat"])
+    g.add_argument("--trace", action="store_true",
+                   help="record per-iteration solver traces (feeds the "
+                        "optimizer-diagnostics dashboard convergence panels)")
     g.set_defaults(fn=cmd_generate)
 
     s = sub.add_parser("sweep", help="multi-horizon dataset sweep")

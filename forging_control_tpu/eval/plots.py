@@ -46,23 +46,56 @@ def _telemetry_panels(telem, traj: int = 0):
 
 
 def solver_panels(telem, traj: int = 0):
-    """Optimizer-diagnostics page (Generate Data/Main.py:211-262)."""
+    """Optimizer-diagnostics page: the reference's six per-step panels
+    (barrier mu / objective / regularization / iteration count / step norm
+    / infeasibility, ``Generate Data/Main.py:211-262`` — the reference
+    plots the LAST iteration's stats per step,
+    ``Generate Data/Functions.py:366-372``), plus per-iteration
+    convergence panels from ``Diagnostics.trace`` when the solver ran with
+    ``record_trace=True`` — history the reference discards."""
     import numpy as np
     d = telem.diag
     t = np.arange(np.asarray(d.iters).shape[-1]) * 1e-3
     def tr(a):
         return np.asarray(a)[traj]
-    return [
-        {"title": "iterations", "series": [
-            {"x": t, "y": tr(d.iters), "label": "iters", "type": "bar"}]},
+    panels = [
+        {"title": "barrier / AL penalty mu", "series": [
+            {"x": t, "y": tr(d.mu), "label": "mu", "type": "line"}]},
         {"title": "objective", "series": [
             {"x": t, "y": tr(d.obj), "label": "obj", "type": "line"}]},
+        {"title": "regularization", "series": [
+            {"x": t, "y": tr(d.reg), "label": "reg", "type": "line"}]},
+        {"title": "iterations", "series": [
+            {"x": t, "y": tr(d.iters), "label": "iters", "type": "bar"}]},
+        {"title": "step norm / size", "series": [
+            {"x": t, "y": tr(d.d_norm), "label": "d_norm", "type": "line"},
+            {"x": t, "y": tr(d.alpha), "label": "alpha", "type": "line"}]},
         {"title": "infeasibilities", "series": [
             {"x": t, "y": tr(d.inf_pr), "label": "inf_pr", "type": "line"},
             {"x": t, "y": tr(d.inf_du), "label": "inf_du", "type": "line"}]},
-        {"title": "step norm", "series": [
-            {"x": t, "y": tr(d.d_norm), "label": "d_norm", "type": "line"}]},
     ]
+    if getattr(d, "trace", None) is not None:
+        from ..solver.sqp import TRACE_COLS
+        trace = np.asarray(d.trace)[traj]           # (T, n_iter, 6)
+        it = np.arange(trace.shape[1])
+        # Per-iteration convergence at the hardest step (most iterations)
+        # and at the first step (cold transient).
+        steps = {"first step": 0,
+                 "hardest step": int(np.argmax(tr(d.iters)))}
+        for name, k in steps.items():
+            col = {c: trace[k, :, i] for i, c in enumerate(TRACE_COLS)}
+            panels.append({
+                "title": f"per-iteration convergence — {name} (t={k})",
+                "series": [
+                    {"x": it, "y": col["obj"], "label": "obj",
+                     "type": "line"},
+                    {"x": it, "y": col["inf_pr"], "label": "inf_pr",
+                     "type": "line"},
+                    {"x": it, "y": col["inf_du"], "label": "inf_du",
+                     "type": "line"},
+                    {"x": it, "y": col["d_norm"], "label": "d_norm",
+                     "type": "line"}]})
+    return panels
 
 
 def render_matplotlib(panels: Sequence[dict], path: str | None = None,

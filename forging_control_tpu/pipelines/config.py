@@ -46,6 +46,9 @@ class GenerateConfig:
     # "ipopt_compat" (reproduces the recorded IPOPT's transient behavior —
     # see sqp.MPCConfig.ipopt_compat).
     solver_preset: str = "default"
+    # Per-iteration solver trace in the telemetry (Diagnostics.trace) —
+    # feeds the optimizer-diagnostics dashboard's convergence panels.
+    record_trace: bool = False
     flags: Flags = Flags()
 
 

@@ -38,7 +38,8 @@ def run(cfg: GenerateConfig = GenerateConfig(), *, seed: int = 0,
             "ipopt_compat": sqp.MPCConfig.ipopt_compat}[cfg.solver_preset]
     mpc_cfg = make(
         horizon=cfg.horizon,
-        variant="raw" if cfg.variant_model == "raw" else "smooth")
+        variant="raw" if cfg.variant_model == "raw" else "smooth",
+        record_trace=cfg.record_trace)
     loop_cfg = cl.LoopConfig(
         t_steps=cfg.t_traj, variant=mpc_cfg.variant,
         process_std=cfg.process_std if cfg.flags.enable_noise else (0.0,) * 5,

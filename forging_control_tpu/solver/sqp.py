@@ -80,6 +80,24 @@ class MPCConfig:
     tol_grad: float = 1e-7           # dual-infeasibility stop (scaled units)
     lm_reg: float = 1e-8             # base Levenberg damping
     step_ladder: tuple = (1.0, 0.25)
+    # Record a fixed-size per-iteration trace (obj, inf_pr, inf_du, d_norm,
+    # alpha, mu) in Diagnostics.trace — the analogue of the per-iteration
+    # IPOPT history the reference stores per step (mu/obj/regularization_
+    # size/d_norm/inf_du/inf_pr, ``Generate Data/Functions.py:366-372``)
+    # and plots on its optimizer-diagnostics page (``Generate Data/
+    # Main.py:211-262``).  Off by default: the trace adds (al*gn, 6) floats
+    # per solve to the telemetry pytree.
+    record_trace: bool = False
+    # Active-set polish after AL convergence: Newton iterations on the
+    # equality-constrained QP of the estimated active set (Schur-complement
+    # solve, masked to fixed shapes), removing the residual AL smoothing
+    # error.  Guarded: the polished point is kept only if it does not
+    # worsen feasibility/objective.  Used by the parity presets; off in
+    # throughput configs (the closed loop's warm-started AL is already at
+    # tracking accuracy).
+    polish_iters: int = 0
+    polish_act_tol: float = 1e-3     # |c| threshold for the active estimate
+    polish_reg: float = 1e-9
     # lax.scan unroll factor for the horizon rollout (True = full unroll,
     # None = auto).  Fully unrolling removes the sequential scan dispatches
     # that dominate the per-iteration cost on TPU: measured 3.6x closed-loop
@@ -135,10 +153,18 @@ class SolverState(NamedTuple):
     lam: jax.Array   # (n_con,) AL multipliers
 
 
+TRACE_COLS = ("obj", "inf_pr", "inf_du", "d_norm", "alpha", "mu")
+
+
 class Diagnostics(NamedTuple):
     """Per-solve stats mirroring the IPOPT record the reference stores
     (iter_count/obj/inf_pr/inf_du/regularization/d_norm/mu,
-    ``Generate Data/Functions.py:366-372``)."""
+    ``Generate Data/Functions.py:366-372``).
+
+    ``trace``: per-iteration history, shape (al_iters * gn_iters,
+    len(TRACE_COLS)) when the config sets ``record_trace``, else None
+    (an empty pytree node, so untraced programs carry zero overhead) —
+    the per-iteration IPOPT arrays the reference keeps per step."""
 
     iters: jax.Array
     obj: jax.Array
@@ -148,6 +174,7 @@ class Diagnostics(NamedTuple):
     d_norm: jax.Array
     mu: jax.Array
     alpha: jax.Array   # last accepted step size (IPOPT alpha_pr analogue)
+    trace: jax.Array | None = None
 
     @classmethod
     def zeros(cls, dtype):
@@ -234,6 +261,98 @@ def _objective_only(cfg: MPCConfig, x0, ref, u_prev_s, v):
     return jnp.sum(r_track**2) + cfg.rterm * jnp.sum(dv**2)
 
 
+def _obj_res_con(cfg: MPCConfig, x0, ref, u_prev_s, v):
+    """Objective-only least-squares residuals + raw constraint values."""
+    xs = _rollout(cfg, x0, v)
+    r_track = xs[:, 1] - ref
+    dv = jnp.diff(jnp.concatenate([jnp.array([u_prev_s], dtype=v.dtype), v]))
+    return jnp.concatenate([r_track, jnp.sqrt(cfg.rterm) * dv]), \
+        _constraints(cfg, xs)
+
+
+def polish(cfg: MPCConfig, x0, ref, u_prev_s, v, lam):
+    """Active-set Newton polish of an AL-converged iterate.
+
+    The augmented Lagrangian solves the inequality-constrained NLP only up
+    to the penalty smoothing (exact complementarity is reached in the
+    mu -> inf limit); this removes the residual by solving the
+    equality-constrained Gauss-Newton QP on the *estimated active set*
+    exactly, via a masked Schur complement:
+
+        [H      J_A^T] [dv]   [-g ]          S nu = J_A H^-1 g - c_A
+        [J_A      0  ] [nu] = [-c_A]   with  dv   = H^-1 (J_A^T nu - g)
+
+    All shapes are static: inactive constraints keep their slot with an
+    identity row in S (nu_i = 0).  The active estimate starts from the AL
+    multipliers and is re-estimated each iteration from the polished
+    multipliers (dropping nu < 0, adding newly violated constraints).  The
+    polished point is accepted only if it does not worsen feasibility or
+    objective — the AL iterate is already excellent and the equality QP
+    can misstep when the active-set estimate is wrong.
+
+    This is the analogue of IPOPT's final accept/polish phase; it is what
+    closes the last ~1e-2 tail between the AL solution and the true NLP
+    optimum on hard steps (see scripts/diag_n5_tail.py and docs/PARITY.md).
+    """
+    dtype = v.dtype
+    N = cfg.horizon
+    n_obj = 2 * N
+    eye = jnp.eye(N, dtype=dtype)
+
+    def lin(vv):
+        out, jvp = jax.linearize(
+            lambda w: jnp.concatenate(_obj_res_con(cfg, x0, ref, u_prev_s, w)),
+            vv)
+        J = jax.vmap(jvp)(eye)                     # (N, n_obj + n_con)
+        return out[:n_obj], out[n_obj:], J[:, :n_obj], J[:, n_obj:]
+
+    r0, c0, _, _ = lin(v)
+    obj0 = jnp.dot(r0, r0)
+    infeas0 = jnp.maximum(jnp.max(-c0), 0.0)
+
+    # Initial active estimate from the AL multipliers.
+    m = jnp.logical_or(c0 < cfg.polish_act_tol, lam > 0).astype(dtype)
+
+    def body(carry, _):
+        v, m = carry
+        r, c, Jr, Jc = lin(v)                      # Jc: (N, n_con)
+        g = Jr @ r
+        H = Jr @ Jr.T + cfg.polish_reg * eye
+        nc = c.shape[0]
+        # H^-1 [Jc | g] via the lane-batched Cholesky (one factor per rhs
+        # lane; elementwise over the rhs axis).
+        rhs = jnp.concatenate([Jc.T, g[None, :]], axis=0)      # (nc+1, N)
+        sol = chol_solve(jnp.broadcast_to(H, (nc + 1, N, N)), rhs)
+        HiJc, Hig = sol[:nc].T, sol[nc]
+        S = m[:, None] * m[None, :] * (Jc.T @ HiJc) \
+            + jnp.diag(1.0 - m) + 1e-10 * jnp.eye(nc, dtype=dtype)
+        nu = chol_solve(S, m * (Jc.T @ Hig - c))
+        dv = HiJc @ (m * nu) - Hig
+        v_new = v + dv
+        # Re-estimate: drop nu <= 0, add (newly) violated constraints.
+        c_lin = c + dv @ Jc
+        m_new = jnp.logical_or(
+            jnp.logical_and(m > 0, nu > 0),
+            c_lin < -cfg.polish_act_tol).astype(dtype)
+        return (v_new, m_new), None
+
+    (v_p, _), _ = jax.lax.scan(body, (v, m), None, length=cfg.polish_iters)
+
+    r1, c1 = _obj_res_con(cfg, x0, ref, u_prev_s, v_p)
+    obj1 = jnp.dot(r1, r1)
+    infeas1 = jnp.maximum(jnp.max(-c1), 0.0)
+    # Exact-penalty merit: enforcing the active constraints exactly may
+    # raise the objective of a slightly-infeasible AL iterate, so accept
+    # on the merit function, not the raw objective.  The tolerance is
+    # float-eps-scale: an already-optimal AL iterate must NOT drift.
+    w = jnp.asarray(1e3, dtype)
+    merit0 = obj0 + w * infeas0
+    merit1 = obj1 + w * infeas1
+    tol = 64 * jnp.finfo(dtype).eps * (1.0 + merit0)
+    ok = jnp.logical_and(jnp.isfinite(merit1), merit1 <= merit0 + tol)
+    return jnp.where(ok, v_p, v)
+
+
 def solve(cfg: MPCConfig, x0, ref, u_prev, state: SolverState):
     """One MPC solve (the `make_step` equivalent).
 
@@ -255,13 +374,19 @@ def solve(cfg: MPCConfig, x0, ref, u_prev, state: SolverState):
 
     res_fn = lambda v, lam, mu: _residuals(cfg, x0, ref, u_prev_s, lam, mu, v)
 
+    n_res = 2 * cfg.horizon + cfg.n_con
+
     def gn_round(carry, _):
         v, lam, mu, it_used, reg, d_norm, inf_du, alpha_last = carry
 
-        # One linearized rollout gives the primal residual for free with
-        # the Jacobian transpose (rows = J @ e_i).
-        r, jvp = jax.linearize(lambda vv: res_fn(vv, lam, mu)[0], v)
-        Jt = jax.vmap(jvp)(jnp.eye(cfg.horizon, dtype=dtype))  # (N, n_res)
+        # One linearized rollout gives the primal residual (and the raw
+        # constraint values, for diagnostics) for free with the Jacobian
+        # transpose (rows = J @ e_i).
+        out, jvp = jax.linearize(
+            lambda vv: jnp.concatenate(res_fn(vv, lam, mu)), v)
+        Jt_full = jax.vmap(jvp)(jnp.eye(cfg.horizon, dtype=dtype))
+        r, c = out[:n_res], out[n_res:]
+        Jt = Jt_full[:, :n_res]                                # (N, n_res)
         g = Jt @ r
         H = Jt @ Jt.T
 
@@ -297,22 +422,34 @@ def solve(cfg: MPCConfig, x0, ref, u_prev, state: SolverState):
         d_new = jnp.where(take, dns[best], 0.0)
         a_new = jnp.where(take, alphas[best], alpha_last)
         it_new = it_used + jnp.where(converged, 0, 1)
-        return (v_new, lam, mu, it_new, reg, d_new, gnorm, a_new), None
+        ys = None
+        if cfg.record_trace:
+            # per-iteration record at the incoming iterate (layout
+            # TRACE_COLS): true objective, primal/dual infeasibility,
+            # accepted step norm/size, AL penalty
+            ys = jnp.stack([jnp.dot(r[:2 * cfg.horizon], r[:2 * cfg.horizon]),
+                            jnp.maximum(jnp.max(-c), 0.0), gnorm, d_new,
+                            a_new, mu])
+        return (v_new, lam, mu, it_new, reg, d_new, gnorm, a_new), ys
 
     def al_round(carry, _):
-        carry, _ = jax.lax.scan(gn_round, carry, None, length=cfg.gn_iters)
+        carry, tr = jax.lax.scan(gn_round, carry, None, length=cfg.gn_iters)
         v, lam, mu, it_used, reg, d_norm, inf_du, alpha_last = carry
         _, c = res_fn(v, lam, mu)
         lam_new = jnp.maximum(lam - mu * c, 0.0)
         mu_new = mu * cfg.mu_factor
-        return (v, lam_new, mu_new, it_used, reg, d_norm, inf_du, alpha_last), None
+        return (v, lam_new, mu_new, it_used, reg, d_norm, inf_du,
+                alpha_last), tr
 
     mu0 = jnp.asarray(cfg.mu0, dtype)
     init = (state.v, state.lam, mu0, jnp.zeros((), jnp.int32),
             jnp.asarray(cfg.lm_reg, dtype), jnp.zeros((), dtype),
             jnp.zeros((), dtype), jnp.zeros((), dtype))
-    (v, lam, mu, iters, reg, d_norm, inf_du, alpha), _ = jax.lax.scan(
+    (v, lam, mu, iters, reg, d_norm, inf_du, alpha), traces = jax.lax.scan(
         al_round, init, None, length=cfg.al_iters)
+
+    if cfg.polish_iters > 0:
+        v = polish(cfg, x0, ref, u_prev_s, v, lam)
 
     xs = _rollout(cfg, x0, v)
     c = _constraints(cfg, xs)
@@ -325,6 +462,8 @@ def solve(cfg: MPCConfig, x0, ref, u_prev, state: SolverState):
         d_norm=d_norm,
         mu=mu,
         alpha=alpha,
+        trace=(traces.reshape(-1, len(TRACE_COLS))
+               if cfg.record_trace else None),
     )
     u0 = v[0] * U_SCALE
     return u0, SolverState(v=v, lam=lam), diag

@@ -140,3 +140,34 @@ def test_notify(tmp_path):
     assert ev["title"] == "Experiment over"
     rec = json.loads(open(events).read().strip())
     assert rec["message"] == "closed loop done" and "ts" in rec
+
+
+def test_solver_dashboard_with_trace(tmp_path):
+    """record_trace=True telemetry adds per-iteration convergence panels
+    (history the reference's optimizer-diagnostics page discards — it only
+    keeps the last iteration per step, Generate Data/Functions.py:366-372)."""
+    import jax
+    import jax.numpy as jnp
+
+    from forging_control_tpu.eval import html_dash
+    from forging_control_tpu.loop import closed_loop as cl
+    from forging_control_tpu.solver import sqp
+
+    cfg = sqp.MPCConfig(horizon=5, variant="smooth", gn_iters=3, al_iters=1,
+                        record_trace=True)
+    ctrl = cl.MPCController(cfg)
+    refs = jnp.full((2, 4), 0.3, jnp.float64)
+    x0 = jnp.tile(jnp.asarray(cl.press.X0_REFERENCE, jnp.float64), (2, 1))
+    _, telem = jax.jit(lambda x, r, k: cl.run_batch(
+        cl.LoopConfig(t_steps=4, variant="smooth"), ctrl, x, r, k))(
+            x0, refs, jax.random.PRNGKey(0))
+    p = str(tmp_path / "solver_trace.html")
+    html_dash.solver_dashboard_from_telemetry(telem, p)
+    text = open(p).read()
+    assert "per-iteration convergence" in text
+    assert "barrier / AL penalty mu" in text
+    data = json.loads(text.split("const DATA = ", 1)[1].split(";\n", 1)[0])
+    per_iter = [pnl for pnl in data[0]
+                if "per-iteration" in pnl["title"]]
+    assert len(per_iter) == 2
+    assert len(per_iter[0]["series"][0]["y"]) == 3  # gn_iters * al_iters
