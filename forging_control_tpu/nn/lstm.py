@@ -6,10 +6,16 @@ Reimplements ``LSTMModel`` (``Unsupervised Learning/Model_NN/Functions.py:
 readout of the last timestep -> 4 next-step outputs ([y_dot, p1, p2, z]).
 
 Gate packing follows torch's (i, f, g, o) so recorded reference
-hyperparameters translate 1:1.  Time iteration is `lax.scan`; the batch and
-hidden axes land on the MXU via the gate matmuls — this is the hot op of
-MPC-loss training and is also available as a fused Pallas kernel in
-ops/lstm_pallas.py.
+hyperparameters translate 1:1.  Time iteration is `lax.scan`; the batch
+and hidden axes land on the MXU via the gate matmuls — this is the hot op
+of MPC-loss training.  A fused whole-window Pallas forward kernel exists
+in ops/lstm_pallas.py (equivalence-pinned in tests/test_ops.py); the jnp
+path remains the default everywhere — it is required for training
+(autodiff) and the measured MPC-loss trainer is already host-sync-free
+(docs/RESULTS.md) — and the kernel's on-TPU A/B is blocked this round by
+a Mosaic compile hang in the remote-compile environment (any
+pallas_call, including a minimal 128x128 matmul, hangs; see
+docs/RESULTS.md "Pallas status").
 """
 
 from __future__ import annotations

@@ -45,3 +45,70 @@ def golden_mpc_rows():
     golden fixture.
     """
     return np.loadtxt(GOLDEN_DATAFRAME, skiprows=1)
+
+
+# ---------------------------------------------------------------- test tiers
+# Two tiers (round-2 VERDICT item: sub-60 s iteration loop):
+#   pytest -m smoke   — fast tier: unit/property tests, small compiles
+#   pytest            — full tier: golden-parity + compile-heavy programs
+# Tests named below measured >2 s on the reference CPU box (full run
+# 31:45 wall; durations captured 2026-08); everything else is smoke.
+SLOW_TESTS = {
+    "test_backends_agree_from_x0", "test_backends_agree_midtrajectory",
+    "test_batch_vmap_consistency", "test_cli_generate",
+    "test_cli_supervised_multi_seed", "test_cli_sweep",
+    "test_closed_loop_tracking_matches_reference",
+    "test_constraint_activation", "test_convergence_masking_and_inf_du",
+    "test_data_parallel_update_runs_and_syncs",
+    "test_dump_dataframe_roundtrip", "test_feasible_command_unchanged",
+    "test_float32_solve", "test_fnn_matches_torch",
+    "test_fused_batch_matches_vmap_path", "test_generate_dataset",
+    "test_horizon_sweep_compiles_and_solves", "test_html_dashboard",
+    "test_ilqr_controller_in_loop", "test_independent_scipy_crosscheck",
+    "test_infeasible_command_projected", "test_ipopt_command_parity",
+    "test_ipopt_compat_closed_loop_bit_parity", "test_maxabs_matches_sklearn",
+    "test_mpc_loss_decomposition_consistent",
+    "test_mpc_loss_runs_and_differentiates", "test_n25_scipy_crosscheck",
+    "test_plant_in_loop_training_step_runs", "test_plots_render",
+    "test_polish_feasibility_guard", "test_polish_is_noop_at_full_strength",
+    "test_polish_recovers_cheap_config", "test_process_noise_injection",
+    "test_projection_minimality", "test_record_trace_schema",
+    "test_recovering_policy_wrapper", "test_rhs_gradients_finite_everywhere",
+    "test_riccati_ipopt_parity", "test_scan_unroll_equivalence",
+    "test_sharded_closed_loop_matches_single_device",
+    "test_single_solve_matches_jax", "test_solve_batch_matches_vmap",
+    "test_solve_batch_matches_vmap_solve",
+    "test_supervised_multi_seed_selection", "test_supervised_pipeline",
+    "test_surrogate_pipeline", "test_surrogate_training_reduces_loss",
+    "test_trace_flows_through_closed_loop",
+    "test_two_process_distributed_closed_loop",
+    "test_unsupervised_pipeline", "test_unsupervised_plant_mode_with_pretrain",
+    "test_unsupervised_training_step_runs", "test_upper_bound_config",
+    "test_vmap_and_jit", "test_warm_start_reduces_iterations",
+    "test_solutions_feasible", "test_closed_loop_commands_close_to_golden",
+    "test_flags_disable_training", "test_solver_dashboard_with_trace",
+    "test_mesh_sharded_training_matches_unsharded",
+    "test_lstm_pallas_matches_jnp",
+}
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "smoke: fast tier (<60 s total)")
+    config.addinivalue_line("markers", "slow: compile-heavy/golden tier")
+
+
+# Session/module fixtures that compile large golden programs: every test
+# requesting one belongs to the slow tier (the fixture cost lands on the
+# first requester, whichever that is).
+HEAVY_FIXTURES = {"parity_solves", "golden_closed_loop", "golden_mpc_rows",
+                  "results", "dataset"}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        base = item.name.split("[")[0]
+        if base in SLOW_TESTS or (
+                HEAVY_FIXTURES & set(getattr(item, "fixturenames", ()))):
+            item.add_marker(pytest.mark.slow)
+        else:
+            item.add_marker(pytest.mark.smoke)

@@ -46,3 +46,28 @@ def test_pallas_kernel_interpret(B):
     got = smallchol.chol_solve_pallas(H, g, interpret=True)
     np.testing.assert_allclose(np.array(got), np.array(want), rtol=1e-8,
                                atol=1e-9)
+
+
+def test_lstm_pallas_matches_jnp():
+    """Fused Pallas LSTM forward == nn.lstm.apply (interpreter on CPU),
+    including batch padding and the optional readout bias."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from forging_control_tpu.nn import lstm
+    from forging_control_tpu.ops import lstm_pallas
+
+    params = lstm.init(jax.random.PRNGKey(0), dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(1), (37, 10, 5), jnp.float32)
+    want = lstm.apply(params, x)
+    got = lstm_pallas.apply_pallas(params, x, block_b=16, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-6)
+
+    # bias-free readout path
+    p2 = {k: v for k, v in params.items() if k != "b_out"}
+    want2 = lstm.apply(p2, x)
+    got2 = lstm_pallas.apply_pallas(p2, x, block_b=16, interpret=True)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want2),
+                               rtol=2e-5, atol=2e-6)
