@@ -266,5 +266,67 @@ def _run_batch_fused(loop_cfg: LoopConfig, controller, x0, refs, keys,
     return x_final, jax.tree.map(lambda a: jnp.moveaxis(a, 0, 1), telem)
 
 
+class StepperCarry(NamedTuple):
+    """Device-resident state of a single-stream stepper."""
+
+    x_true: jax.Array
+    x_meas: jax.Array
+    ctrl: object
+    u_prev: jax.Array
+    key: jax.Array
+
+
+def make_stepper(loop_cfg: LoopConfig, controller, x0=None, key=None,
+                 u_init=0.0, dtype=jnp.float32, aot=True):
+    """Single-stream deployment stepper: ONE control period per call.
+
+    The reference's `make_step` pair (``controller.make_step`` +
+    ``simulator.make_step``, ``Generate Data/Functions.py:335-349``) as one
+    compiled program with a **donated carry**: the solver warm-start state,
+    plant state, and RNG key stay device-resident between calls, so each
+    call costs one dispatch + one program execution — no host round trips
+    of the state.  This is the honest B=1 per-step latency path on TPU
+    (the batched scan engine remains the throughput path, and the native
+    C++ runtime the hard-real-time one — see docs/RESULTS.md).
+
+    Returns ``(step_fn, carry0)``; ``step_fn(carry, ref) -> (carry, u)``.
+    With ``aot=True`` the step is lowered and compiled ahead of time.
+    Semantics are identical to one iteration of :func:`run_trajectory`'s
+    scan body (equivalence-pinned in tests/test_loop.py).
+    """
+    p_std = jnp.asarray(loop_cfg.process_std, dtype)
+    m_std = jnp.asarray(loop_cfg.meas_std, dtype)
+
+    def f(x, u):
+        return press.rhs(x, u, loop_cfg.params, loop_cfg.variant)
+
+    def step(carry: StepperCarry, ref):
+        u0, ctrl_carry, _diag = controller.step(
+            carry.ctrl, carry.x_meas, ref, carry.u_prev)
+        u0 = jnp.asarray(u0, dtype)
+        key, kw, kv = jax.random.split(carry.key, 3)
+        w = jax.random.normal(kw, (5,), dtype) * p_std
+        v = jax.random.normal(kv, (5,), dtype) * m_std
+        x_next = rk4_step(f, carry.x_true, u0, loop_cfg.dt,
+                          loop_cfg.substeps, disturbance=w)
+        x_meas_next = press.measure(
+            x_next, loop_cfg.params, loop_cfg.variant) + v
+        return StepperCarry(x_next, x_meas_next, ctrl_carry, u0, key), u0
+
+    x0 = jnp.asarray(press.X0_REFERENCE if x0 is None else x0, dtype)
+    carry0 = StepperCarry(
+        x_true=x0,
+        x_meas=press.measure(x0, loop_cfg.params, loop_cfg.variant),
+        ctrl=controller.init_carry(dtype),
+        u_prev=jnp.asarray(u_init, dtype),
+        key=jax.random.PRNGKey(0) if key is None else key,
+    )
+    fn = jax.jit(step, donate_argnums=0)
+    if aot:
+        ref0 = jnp.zeros((), dtype)
+        fn = fn.lower(carry0, ref0).compile()
+    return fn, carry0
+
+
 def default_x0(dtype=jnp.float64):
     return jnp.asarray(press.X0_REFERENCE, dtype)

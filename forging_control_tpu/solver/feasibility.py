@@ -59,6 +59,23 @@ class FeasibilityResult(NamedTuple):
     changed: jax.Array    # |u - u_NN|
 
 
+class WarmStart(NamedTuple):
+    """Cross-step warm-start state, the reference's ``warm_start`` dict
+    (``Supervised Learning/Functions.py:957-1011``): previous primal
+    (here the scalar command; the reference also carries two decoupled
+    slacks whose optimum is 0) and the constraint multipliers."""
+
+    u: jax.Array    # previous recovered command (scalar)
+    lam: jax.Array  # (4 * lookahead,) AL multipliers (reference: lam_g)
+
+
+def init_warm(cfg: FeasibilityConfig, dtype=jnp.float32) -> WarmStart:
+    """Zero warm start — ``warm_start = {'u': np.zeros(3), 'lam_g':
+    np.zeros(6)}`` (Supervised Learning/Main.py:607-608)."""
+    return WarmStart(u=jnp.zeros((), dtype),
+                     lam=jnp.zeros((4 * cfg.lookahead,), dtype))
+
+
 def _lookahead_constraints(cfg: FeasibilityConfig, x0, u):
     def f(x, uu):
         return press.rhs(x, uu, cfg.params, cfg.variant)
@@ -73,15 +90,9 @@ def _lookahead_constraints(cfg: FeasibilityConfig, x0, u):
     return jnp.stack(cons)
 
 
-def recover(cfg: FeasibilityConfig, u_nn, x0):
-    """Project u_nn onto the feasible set; returns FeasibilityResult.
-
-    jit/vmap-compatible; a scalar AL-GN iteration (division instead of a
-    linear solve).
-    """
-    dtype = jnp.result_type(u_nn)
-    n_con = 4 * cfg.lookahead
-    lam0 = jnp.zeros((n_con,), dtype)
+def _al_core(cfg: FeasibilityConfig, u_nn, x0, dtype):
+    """Build the AL residual/iteration machinery shared by the cold
+    (multi-start) and warm-start entry points."""
     w_obj = 1.0 / _U_SCALE
 
     def al_residual(u, lam, mu):
@@ -115,6 +126,26 @@ def recover(cfg: FeasibilityConfig, u_nn, x0):
         lam = jnp.maximum(lam - mu * c, 0.0)
         return (u, lam, mu * cfg.mu_factor), None
 
+    def run(u_init, lam0):
+        mu_init = jnp.asarray(cfg.mu0, dtype)
+        (u, lam, _), _ = jax.lax.scan(
+            al_round, (u_init, lam0, mu_init), None, length=cfg.al_iters)
+        return u, lam
+
+    return al_residual, run
+
+
+def recover(cfg: FeasibilityConfig, u_nn, x0):
+    """Project u_nn onto the feasible set; returns FeasibilityResult.
+
+    jit/vmap-compatible; a scalar AL-GN iteration (division instead of a
+    linear solve).
+    """
+    dtype = jnp.result_type(u_nn)
+    n_con = 4 * cfg.lookahead
+    lam0 = jnp.zeros((n_con,), dtype)
+    al_residual, run = _al_core(cfg, u_nn, x0, dtype)
+
     # Multi-start: the valve-flow sign flip at z = 0 makes the 2-step
     # pressure landscape nonconvex in u, so a single GN descent from u_nn
     # can land in the wrong basin.  Seed from a small branch-free grid
@@ -128,8 +159,7 @@ def recover(cfg: FeasibilityConfig, u_nn, x0):
         lambda s: 0.5 * jnp.sum(al_residual(s, lam0, mu_init)[0] ** 2))(seeds)
     u_init = seeds[jnp.argmin(seed_costs)]
 
-    (u, lam, mu), _ = jax.lax.scan(
-        al_round, (u_init, lam0, mu_init), None, length=cfg.al_iters)
+    u, _lam = run(u_init, lam0)
 
     c = _lookahead_constraints(cfg, x0, u)
     return FeasibilityResult(
@@ -137,6 +167,74 @@ def recover(cfg: FeasibilityConfig, u_nn, x0):
         violation=jnp.maximum(jnp.max(-c), 0.0),
         changed=jnp.abs(u - u_nn),
     )
+
+
+def recover_warm(cfg: FeasibilityConfig, u_nn, x0, warm: WarmStart,
+                 fail_tol: float = 1e-2):
+    """Warm-started projection with the reference's stateful carry and
+    failure-fallback semantics (``Supervised Learning/Functions.py:
+    957-1011``): seed the primal and the multipliers from the previous
+    step's solution; on failure (here: the AL result still violates the
+    scaled constraints by more than ``fail_tol``), apply the *previous*
+    command and reset the warm start to zeros.
+
+    Returns ``(FeasibilityResult, WarmStart)``.  jit/vmap-compatible.
+    The cold path (:func:`recover`) instead multi-starts every call —
+    see scripts/feasibility_ab.py for the measured A/B.
+    """
+    dtype = jnp.result_type(u_nn)
+    _al_residual, run = _al_core(cfg, u_nn, x0, dtype)
+
+    u, lam = run(jnp.asarray(warm.u, dtype), jnp.asarray(warm.lam, dtype))
+    c = _lookahead_constraints(cfg, x0, u)
+    violation = jnp.maximum(jnp.max(-c), 0.0)
+
+    failed = violation > fail_tol
+    u_out = jnp.where(failed, warm.u, u)
+    zero = init_warm(cfg, dtype)
+    new_warm = WarmStart(
+        u=jnp.where(failed, zero.u, u),
+        lam=jnp.where(failed, zero.lam, lam),
+    )
+    res = FeasibilityResult(
+        u=u_out,
+        violation=violation,
+        changed=jnp.abs(u_out - u_nn),
+    )
+    return res, new_warm
+
+
+@dataclasses.dataclass(frozen=True)
+class RecoveringController:
+    """Closed-loop controller (loop.Controller protocol) wrapping a policy
+    with *warm-started* feasibility recovery — the stateful composition the
+    reference runs in ``NeuralNetwork.loop`` (``Supervised Learning/
+    Functions.py:673-885``): the warm start is threaded through the episode
+    as controller state, exactly like the ``warm_start`` dict the loop
+    carries between ``NN_make_step`` calls.
+
+    ``base_policy(x_meas, ref, u_prev) -> u_nn``; lb/ub optionally apply
+    the reference's declared (never-enforced) +-0.2 saturation.
+    """
+
+    base_policy: object
+    cfg: FeasibilityConfig = FeasibilityConfig()
+    lb: float | None = None
+    ub: float | None = None
+    fail_tol: float = 1e-2
+
+    def init_carry(self, dtype):
+        return init_warm(self.cfg, dtype)
+
+    def step(self, carry, x_meas, ref, u_prev):
+        from . import sqp  # local import; sibling module
+        u_nn = self.base_policy(x_meas, ref, u_prev)
+        res, warm = recover_warm(self.cfg, u_nn, x_meas, carry,
+                                 fail_tol=self.fail_tol)
+        u = res.u
+        if self.lb is not None or self.ub is not None:
+            u = jnp.clip(u, self.lb, self.ub)
+        return u, warm, sqp.Diagnostics.zeros(jnp.result_type(x_meas))
 
 
 def make_recovering_policy(base_policy, cfg: FeasibilityConfig,

@@ -89,6 +89,12 @@ SLOW_TESTS = {
     "test_flags_disable_training", "test_solver_dashboard_with_trace",
     "test_mesh_sharded_training_matches_unsharded",
     "test_lstm_pallas_matches_jnp",
+    "test_warm_start_carry_matches_cold_on_feasible",
+    "test_warm_start_failure_fallback",
+    "test_warm_carry_closed_loop_matches_cold",
+    "test_recover_warm_vmap",
+    "test_solver_phase_breakdown",
+    "test_single_stream_stepper",
 }
 
 

@@ -158,3 +158,28 @@ def test_fused_batch_matches_vmap_path():
                                rtol=1e-9, atol=1e-9)
     np.testing.assert_allclose(np.array(t_fused.w), np.array(t_vmap.w),
                                rtol=0, atol=0)
+
+
+def test_single_stream_stepper():
+    """make_stepper (donated-carry B=1 deployment path) reproduces
+    run_trajectory's scan exactly: same controller warm-start evolution,
+    same RNG stream, same commands."""
+    loop_cfg = cl.LoopConfig(t_steps=8, variant="smooth",
+                             process_std=(5e-1, 2e0, 5e7, 5e7, 2e0))
+    cfg = sqp.MPCConfig(horizon=5, variant="smooth", gn_iters=3, al_iters=1)
+    ctrl = cl.MPCController(cfg)
+    refs = jnp.full((8,), 0.3, jnp.float64)
+    key = jax.random.PRNGKey(7)
+    x0 = jnp.asarray(cl.press.X0_REFERENCE, jnp.float64)
+
+    _, telem = jax.jit(lambda x, r, k: cl.run_trajectory(
+        loop_cfg, ctrl, x, r, k))(x0, refs, key)
+
+    step, carry = cl.make_stepper(loop_cfg, ctrl, x0=x0, key=key,
+                                  dtype=jnp.float64, aot=False)
+    us = []
+    for t in range(8):
+        carry, u = step(carry, refs[t])
+        us.append(float(u))
+    np.testing.assert_allclose(np.array(us), np.array(telem.u), rtol=1e-12,
+                               atol=1e-12)

@@ -171,3 +171,24 @@ def test_solver_dashboard_with_trace(tmp_path):
                 if "per-iteration" in pnl["title"]]
     assert len(per_iter) == 2
     assert len(per_iter[0]["series"][0]["y"]) == 3  # gn_iters * al_iters
+
+
+def test_solver_phase_breakdown(tmp_path):
+    """Per-phase NLP cost artifact (t_wall_nlp_{f,g,grad_f,jac_g} analogue,
+    Supervised Learning/Functions.py:848-853): all phases present with
+    positive isolated wall times and XLA FLOP counts."""
+    from forging_control_tpu.solver import sqp
+    from forging_control_tpu.utils import profiling
+
+    rec = profiling.solver_phase_breakdown(
+        sqp.MPCConfig(horizon=5, gn_iters=2, al_iters=1), batch=8, reps=1)
+    assert set(rec["phases"]) == {"f", "g", "grad_f", "jac_g", "linsolve",
+                                  "total"}
+    for name, ph in rec["phases"].items():
+        assert ph["t_wall_s"] > 0, name
+        assert ph["t_wall_per_solve_us"] > 0, name
+    # derivative phases cost more FLOPs than their primal evals
+    p = rec["phases"]
+    assert p["grad_f"]["flops"] > p["f"]["flops"]
+    assert p["jac_g"]["flops"] > p["g"]["flops"]
+    json.dumps(rec)  # JSON-ready
