@@ -1,1 +1,1 @@
-from . import checkpoint, notify, profiling, timer  # noqa: F401
+from . import checkpoint, notify, profiling, progress, timer  # noqa: F401

@@ -8,6 +8,10 @@ sequential latency) and at large batch (amortized throughput latency).
 
 Usage: python scripts/latency_bench.py [--horizons 5 10 25] [--steps 300]
 Prints one JSON line per configuration.
+
+For the TRUE dispatch-per-step single-stream path (donated-carry AOT
+stepper, one control period per call) use scripts/single_stream_bench.py —
+the B=1 number here amortizes the whole-episode scan instead.
 """
 
 import argparse

@@ -192,3 +192,27 @@ def test_solver_phase_breakdown(tmp_path):
     assert p["grad_f"]["flops"] > p["f"]["flops"]
     assert p["jac_g"]["flops"] > p["g"]["flops"]
     json.dumps(rec)  # JSON-ready
+
+
+def test_progress_bar_non_tty():
+    """ProgressBar degrades to plain line logging off-TTY (the alive_bar
+    role, Supervised Learning/Functions.py:592-600) and epoch_log_fn plugs
+    into the trainers' log_fn hook."""
+    import io
+
+    from forging_control_tpu.utils import progress
+
+    buf = io.StringIO()
+    bar = progress.ProgressBar(total=4, label="t", stream=buf,
+                               min_interval_s=0.0)
+    for _ in range(4):
+        bar.update()
+    bar.close()
+    out = buf.getvalue()
+    assert "4/4 (100%)" in out
+
+    buf2 = io.StringIO()
+    log = progress.epoch_log_fn(2, stream=buf2)
+    log(0, 0.5, 0.6)
+    log(1, 0.4, 0.5)
+    assert "loss 0.40000" in buf2.getvalue()
