@@ -76,11 +76,20 @@ def solver_phase_breakdown(cfg, batch: int = 256, reps: int = 3,
     def con(x, vv):
         return sqp._constraints(cfg, sqp._rollout(cfg, x, vv))
 
+    # Each phase reduces its output to a scalar on-device, and timing goes
+    # through a forced host transfer of that scalar: on the remote-attach
+    # TPU path block_until_ready can ack before execution completes (same
+    # reason bench.py times through float(sum)), and transferring the raw
+    # phase outputs would instead measure the tunnel.
+    def scalarized(fn):
+        return jax.jit(lambda *a: jax.tree.reduce(
+            lambda acc, x: acc + jnp.sum(x), fn(*a), jnp.zeros((), dtype)))
+
     phases = {
-        "f": jax.jit(jax.vmap(obj)),
-        "g": jax.jit(jax.vmap(con, in_axes=(0, 0))),
-        "grad_f": jax.jit(jax.vmap(jax.grad(obj, argnums=3))),
-        "jac_g": jax.jit(jax.vmap(jax.jacfwd(con, argnums=1))),
+        "f": scalarized(jax.vmap(obj)),
+        "g": scalarized(jax.vmap(con, in_axes=(0, 0))),
+        "grad_f": scalarized(jax.vmap(jax.grad(obj, argnums=3))),
+        "jac_g": scalarized(jax.vmap(jax.jacfwd(con, argnums=1))),
     }
     args = {
         "f": (x0, ref, u_prev, v), "g": (x0, v),
@@ -92,12 +101,12 @@ def solver_phase_breakdown(cfg, batch: int = 256, reps: int = 3,
     J = jax.vmap(jax.jacfwd(con, argnums=1))(x0, v)       # (B, n_con, N)
     H = jnp.einsum("bci,bcj->bij", J, J) + 1e-6 * jnp.eye(N, dtype=dtype)
     g_rhs = jnp.einsum("bci,bc->bi", J, jax.vmap(con)(x0, v))
-    phases["linsolve"] = jax.jit(chol_solve)
+    phases["linsolve"] = scalarized(chol_solve)
     args["linsolve"] = (H, g_rhs)
 
     # The full production solve for reference.
     state = jax.vmap(lambda _: sqp.init_state(cfg, dtype))(jnp.arange(batch))
-    phases["total"] = jax.jit(jax.vmap(
+    phases["total"] = scalarized(jax.vmap(
         lambda x, r, up, s: sqp.solve(cfg, x, r, up, s)[0]))
     args["total"] = (x0, ref, u_prev, state)
 
@@ -114,14 +123,25 @@ def solver_phase_breakdown(cfg, batch: int = 256, reps: int = 3,
                     if ca and k in ca}
         except Exception:
             pass
-        r = fn(*args[name])
-        jax.tree.map(lambda a: a.block_until_ready(), r)
+        # Pre-stage distinct argument variants on device (identical-argument
+        # executions can be cache-served on the remote-attach path).  The
+        # forced scalar transfer that makes timing honest costs ~25 ms on
+        # the remote tunnel, so each measurement enqueues all K variants
+        # back-to-back (single in-order device stream: forcing the last
+        # result forces them all) and amortizes the transfer across K.
+        K = max(reps, 10)
+        variants = []
+        for i in range(K):
+            va = jax.tree.map(lambda a: a * (1.0 + 1e-6 * i), args[name])
+            jax.tree.map(lambda a: a.block_until_ready(), va)
+            variants.append(va)
+        float(fn(*args[name]))  # warmup/compile
         best = float("inf")
         for _ in range(reps):
             t0 = time.perf_counter()
-            r = fn(*args[name])
-            jax.tree.map(lambda a: a.block_until_ready(), r)
-            best = min(best, time.perf_counter() - t0)
+            runs = [fn(*va) for va in variants]
+            float(runs[-1])
+            best = min(best, (time.perf_counter() - t0) / K)
         out["phases"][name] = {
             "t_wall_s": best,
             "t_wall_per_solve_us": best / batch * 1e6,
