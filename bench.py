@@ -60,9 +60,24 @@ def main():
     run = jax.jit(lambda x, r, k: cl.run_batch(loop_cfg, ctrl, x, r, k))
 
     # Warmup / compile
+    compiled = run.lower(x0, refs, key).compile()
     _, telem = run(x0, refs, key)
     telem.u.block_until_ready()
     assert bool(np.isfinite(np.asarray(telem.u)).all()), "non-finite commands"
+
+    # XLA's static cost model for the whole closed-loop program -> MFU.
+    # This workload is tiny-tensor VPU work by construction (6x6 blocks,
+    # N<=25 horizons), so %-of-peak is intrinsically small; solves/s vs
+    # the IPOPT baseline is the governing metric.  Reported so the
+    # framework states its own roofline position (docs/RESULTS.md).
+    prog_flops = None
+    try:
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, list) else ca
+        prog_flops = float(ca["flops"]) if ca and "flops" in ca else None
+    except Exception:
+        pass
+    peak = float(os.environ.get("BENCH_PEAK_FLOPS", 1.97e14))  # v5e bf16
 
     best = float("inf")
     for i in range(reps):
@@ -75,12 +90,16 @@ def main():
 
     solves_per_s = (B * T) / best
     baseline = 64.9  # reference IPOPT solves/s (median), BASELINE.md
-    print(json.dumps({
+    rec = {
         "metric": f"closed-loop MPC solves/s/chip (N={N}, batch={B})",
         "value": round(solves_per_s, 1),
         "unit": "solves/s",
         "vs_baseline": round(solves_per_s / baseline, 2),
-    }))
+    }
+    if prog_flops:
+        rec["flops_per_s"] = round(prog_flops / best, 1)
+        rec["mfu_pct"] = round(100.0 * prog_flops / best / peak, 4)
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

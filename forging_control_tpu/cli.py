@@ -54,13 +54,18 @@ def cmd_generate(args):
     cfg = pcfg.GenerateConfig(
         n_traj=args.n_traj, t_traj=args.t_traj, horizon=args.horizon,
         solver_preset=args.solver_preset, record_trace=args.trace,
-        flags=_flags(args))
+        backend=args.backend, flags=_flags(args))
     telem, results = generate_data.run(
         cfg, seed=args.seed,
         exact_reference_streams=not args.random_refs)
     path = generate_data.dataset_path(args.out, cfg.horizon)
     generate_data.save(results, path)
     summ = generate_data.summarize(results)
+    if args.export_pkl:
+        from .utils import dompc_pickle
+        pkl = path[:-4] + ".pkl"
+        dompc_pickle.save(pkl, results)
+        summ["dataset_pkl"] = pkl
     log.info(json.dumps({"dataset": path, **summ}))
     if args.plots:
         _emit_dashboards(telem, args.out, f"MPC_N_{cfg.horizon}")
@@ -86,7 +91,7 @@ def cmd_supervised(args):
     results = generate_data.load(args.data)
     cfg = pcfg.SupervisedConfig(
         horizon=args.horizon, epochs=args.epochs, n_seeds=args.seeds,
-        flags=_flags(args))
+        backend=args.backend, flags=_flags(args))
     art = supervised.run(results, cfg, seed=args.seed,
                          closed_loop_eval=not args.no_eval,
                          out_dir=args.out)
@@ -153,6 +158,13 @@ def main(argv=None):
     g.add_argument("--trace", action="store_true",
                    help="record per-iteration solver traces (feeds the "
                         "optimizer-diagnostics dashboard convergence panels)")
+    g.add_argument("--backend", default="auto",
+                   choices=["auto", "sqp", "ilqr"],
+                   help="solver backend (auto: measured-best per horizon — "
+                        "condensed SQP for N<=12, Riccati iLQR beyond)")
+    g.add_argument("--export-pkl", action="store_true",
+                   help="also write the dataset in the reference's pickled "
+                        "do_mpc.data.save_results format")
     g.set_defaults(fn=cmd_generate)
 
     s = sub.add_parser("sweep", help="multi-horizon dataset sweep")
@@ -174,6 +186,9 @@ def main(argv=None):
     sv.add_argument("--no-eval", action="store_true")
     sv.add_argument("--seeds", type=int, default=1,
                     help="training replicas; best by closed-loop val MAE")
+    sv.add_argument("--backend", default="auto",
+                    choices=["auto", "sqp", "ilqr"],
+                    help="MPC baseline solver backend (see generate)")
     sv.set_defaults(fn=cmd_supervised)
 
     sg = sub.add_parser("surrogate", help="LSTM surrogate training")
@@ -189,11 +204,13 @@ def main(argv=None):
     us.add_argument("--horizon", type=int, default=10)
     us.add_argument("--epochs", type=int, default=20)
     us.add_argument("--surrogate-epochs", type=int, default=10)
-    us.add_argument("--train-mode", choices=["surrogate", "plant"],
+    us.add_argument("--train-mode", choices=["surrogate", "plant", "dagger"],
                     default="surrogate",
                     help="surrogate: reference protocol (MPC-loss through "
                          "the frozen LSTM); plant: analytic policy "
-                         "gradients through the true differentiable plant")
+                         "gradients through the true differentiable plant; "
+                         "dagger: iterated imitation with batched MPC "
+                         "relabeling of the student's own states")
     us.add_argument("--feasibility", action="store_true")
     us.add_argument("--no-eval", action="store_true")
     us.add_argument("--seeds", type=int, default=1,

@@ -44,13 +44,16 @@ def command_effort(u):
 
 
 def latency_stats(times_s):
-    """Per-step latency stats in ms: mean/std/median/p25/p75
-    (Supervised Learning/Functions.py:546-560)."""
+    """Per-step latency stats in ms: mean/std/median/p25/p75.
+
+    Keys match the reference's table headers exactly
+    (``Supervised Learning/Functions.py:546-560``; e.g.
+    ``Tables/Normal/MPC_results_N_10.csv``)."""
     t = np.asarray(times_s) * 1e3
     return {
         "Mean_time": float(t.mean()),
         "Std_time": float(t.std()),
         "Median_time": float(np.percentile(t, 50)),
-        "Percentile_25": float(np.percentile(t, 25)),
-        "Percentile_75": float(np.percentile(t, 75)),
+        "25_perc": float(np.percentile(t, 25)),
+        "75_perc": float(np.percentile(t, 75)),
     }

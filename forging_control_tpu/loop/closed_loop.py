@@ -69,12 +69,26 @@ class Controller(Protocol):
     def step(self, carry, x_meas, ref, u_prev): ...
 
 
+def resolve_backend(backend: str, horizon: int) -> str:
+    """Resolve backend="auto" to the measured-best solver per horizon.
+
+    Mirrors sqp._resolve_unroll's measured logic: the condensed GN-SQP owns
+    short horizons (dense N x N normal solve, fully unrolled rollout); the
+    AL-iLQR Riccati backend owns long ones, where the condensed Jacobian
+    rollout is O(N^2) and compile-bound (N=25: 4.1k -> 55k solves/s,
+    scripts/riccati_bench.py / docs/RESULTS.md)."""
+    if backend != "auto":
+        return backend
+    return "sqp" if horizon <= 12 else "ilqr"
+
+
 @dataclasses.dataclass(frozen=True)
 class MPCController:
     """MPC with shift warm start — `make_step` equivalent.
 
-    ``backend`` selects the solver: "sqp" (condensed GN, default) or
-    "ilqr" (Riccati sweep, solver/riccati.py).  ``linsolve`` picks the
+    ``backend`` selects the solver: "sqp" (condensed GN, default), "ilqr"
+    (Riccati sweep, solver/riccati.py), or "auto" (measured-best per
+    horizon, :func:`resolve_backend`).  ``linsolve`` picks the
     batch-level KKT kernel used by :func:`run_batch`'s fused path
     (None = per-scenario vmap; "unrolled" | "pallas" = explicit-batch
     sqp.solve_batch — see ops/smallchol)."""
@@ -82,6 +96,11 @@ class MPCController:
     cfg: sqp.MPCConfig
     backend: str = "sqp"
     linsolve: str | None = None
+
+    def __post_init__(self):
+        if self.backend == "auto":
+            object.__setattr__(self, "backend",
+                               resolve_backend("auto", self.cfg.horizon))
 
     def _mod(self):
         if self.backend == "ilqr":
@@ -309,6 +328,9 @@ def make_stepper(loop_cfg: LoopConfig, controller, x0=None, key=None,
         v = jax.random.normal(kv, (5,), dtype) * m_std
         x_next = rk4_step(f, carry.x_true, u0, loop_cfg.dt,
                           loop_cfg.substeps, disturbance=w)
+        if loop_cfg.state_clip is not None:
+            lim = jnp.asarray(loop_cfg.state_clip, dtype)
+            x_next = jnp.clip(jnp.nan_to_num(x_next), -lim, lim)
         x_meas_next = press.measure(
             x_next, loop_cfg.params, loop_cfg.variant) + v
         return StepperCarry(x_next, x_meas_next, ctrl_carry, u0, key), u0
@@ -326,6 +348,37 @@ def make_stepper(loop_cfg: LoopConfig, controller, x0=None, key=None,
         ref0 = jnp.zeros((), dtype)
         fn = fn.lower(carry0, ref0).compile()
     return fn, carry0
+
+
+def stepper_latency(loop_cfg: LoopConfig, controller, refs, *,
+                    dtype=jnp.float32, x0=None, key=None):
+    """Per-step wall-clock latencies (seconds) of the single-stream stepper.
+
+    Runs :func:`make_stepper` (one AOT-compiled control period, donated
+    device-resident carry) over the given reference stream, timing each
+    genuinely sequential step — the honest per-step distribution the
+    reference's ``do_mpc.tools.Timer`` records around ``make_step``
+    (``Generate Data/Functions.py:335-337``), feeding
+    ``eval.metrics.latency_stats``.  Returns an array of length
+    ``len(refs)`` (the first, warmup step is excluded from the returned
+    times via a prepended warmup call)."""
+    import time as _time
+
+    import numpy as _np
+
+    step, carry = make_stepper(loop_cfg, controller, x0=x0, key=key,
+                               dtype=dtype)
+    refs = _np.asarray(refs).ravel()
+    carry, u = step(carry, jnp.asarray(refs[0], dtype))   # warmup
+    u.block_until_ready()
+    times = _np.empty(len(refs))
+    for t in range(len(refs)):
+        r = jnp.asarray(refs[t], dtype)
+        t1 = _time.perf_counter()
+        carry, u = step(carry, r)
+        u.block_until_ready()
+        times[t] = _time.perf_counter() - t1
+    return times
 
 
 def default_x0(dtype=jnp.float64):

@@ -475,6 +475,147 @@ def train_plant_in_loop(params, in_scaler, u_scaler, *, width_dim=1,
     return params, report
 
 
+def dagger_rollout(params, in_scaler, u_scaler, mpc_cfg, refs, key, *,
+                   width_dim=1, variant="smooth", process_std=(0.0,) * 5,
+                   backend="sqp", beta=0.0, dtype=jnp.float32):
+    """Roll the student policy in closed loop while shadow-labeling every
+    visited state with the MPC teacher — the DAgger data-collection pass.
+
+    The teacher MPC solves at each state the *student* visits (warm-started
+    along the student's trajectory via the usual shift), but its command is
+    NOT applied (``beta=0``; set beta>0 to blend teacher action into the
+    applied command, the classic DAgger mixing schedule).  This queries
+    the expert on the learner's own state distribution — the fix for
+    imitation covariate shift (Ross et al., AISTATS 2011) that the
+    reference structurally could not afford: each labeling pass is
+    n_traj x t_steps extra IPOPT solves for them (minutes-hours), one
+    fused batched program here (milliseconds-seconds).
+
+    Returns ``(feats (B, T, 3), u_teacher (B, T))`` in raw physical units
+    (features [y_dot, z, ref], the supervised controller inputs).
+    """
+    from ..integrate.rk4 import rk4_step
+    from ..loop import closed_loop as cl
+    from ..solver import riccati, sqp as sqp_mod
+    from . import fnn as fnn_mod
+
+    mod = riccati if backend == "ilqr" else sqp_mod
+    refs = jnp.asarray(refs, dtype)
+    B, T = refs.shape
+    loop_cfg = cl.LoopConfig(t_steps=T, variant=variant,
+                             process_std=process_std)
+    policy = jax.vmap(fnn_mod.make_policy(params, in_scaler, u_scaler,
+                                          width_dim))
+    p_std = jnp.asarray(process_std, dtype)
+
+    def f(x, u):
+        return cl.press.rhs(x, u, loop_cfg.params, loop_cfg.variant)
+
+    def solve_b(x, r, up, st):
+        if backend == "ilqr":
+            return mod.solve_batch(mpc_cfg, x, r, up, st)
+        return sqp_mod.solve_batch(mpc_cfg, x, r, up, st)
+
+    split2 = jax.vmap(lambda k: jax.random.split(k, 2))
+    normal5 = jax.vmap(lambda k: jax.random.normal(k, (5,), dtype))
+
+    def body(carry, ref):
+        x_true, x_meas, mpc_state, u_prev, keys = carry
+        shifted = jax.vmap(mod.shift_state)(mpc_state)
+        u_teach, mpc_state, _ = solve_b(x_meas, ref, u_prev, shifted)
+        u_stud = jnp.asarray(policy(x_meas, ref, u_prev), dtype)
+        u0 = (1.0 - beta) * u_stud + beta * u_teach.astype(dtype)
+
+        ks = split2(keys)
+        w = normal5(ks[:, 1]) * p_std
+        x_next = rk4_step(f, x_true, u0, loop_cfg.dt, loop_cfg.substeps,
+                          disturbance=w)
+        x_meas_next = cl.press.measure(x_next, loop_cfg.params,
+                                       loop_cfg.variant)
+        feats = jnp.stack([x_meas[:, 1], x_meas[:, 4], ref], axis=-1)
+        return (x_next, x_meas_next, mpc_state, u0, ks[:, 0]), \
+            (feats, u_teach)
+
+    x0 = jnp.tile(jnp.asarray(cl.press.X0_REFERENCE, dtype), (B, 1))
+    st0 = jax.tree.map(
+        lambda a: jnp.broadcast_to(a, (B,) + a.shape),
+        mod.init_state(mpc_cfg, dtype))
+    init = (x0, cl.press.measure(x0, loop_cfg.params, loop_cfg.variant),
+            st0, jnp.zeros((B,), dtype), jax.random.split(key, B))
+    _, (feats, u_teach) = jax.lax.scan(body, init, refs.T)
+    return jnp.moveaxis(feats, 0, 1), jnp.moveaxis(u_teach, 0, 1)
+
+
+def train_dagger(params, in_scaler, u_scaler, x_init, u_init, x_val, u_val,
+                 *, mpc_cfg, rounds=3, n_traj=16, t_steps=300,
+                 ref_variant="unsupervised", width_dim=1, lr=1e-3,
+                 epochs=20, batch_size=256, process_std=(0.0,) * 5,
+                 backend="sqp", seed=0, variant="smooth",
+                 closed_loop_val_fn: Callable | None = None,
+                 log_fn: Callable | None = None):
+    """DAgger: iterated imitation with expert relabeling on the student's
+    own closed-loop distribution.
+
+    Starts from the recorded teacher dataset (``x_init``/``u_init``,
+    scaled units — the supervised pipeline's arrays), then alternates:
+    train on the aggregate -> roll the student on fresh reference streams
+    -> label every visited state with the batched MPC teacher ->
+    aggregate.  Candidate parameters after each round are scored by
+    ``closed_loop_val_fn`` (true-plant noisy validation MAE) and the best
+    round's parameters are returned — so adding rounds can only help.
+
+    This is the framework-native answer to the student-over-teacher gap
+    (docs/RESULTS.md): the reference's one-shot imitation learns on the
+    teacher's states but is evaluated on its own, and its closed-loop MAE
+    pays for the mismatch.
+    """
+    import numpy as _np
+
+    from ..refgen import streams as ref_streams
+
+    report = TrainReport()
+    t0 = time.time()
+    X = [_np.asarray(x_init, _np.float32)]
+    U = [_np.asarray(u_init, _np.float32)]
+    best_params, best_val = None, float("inf")
+    key = jax.random.PRNGKey(seed + 77)
+    for r in range(rounds):
+        xt = _np.concatenate(X, axis=0)
+        ut = _np.concatenate(U, axis=0)
+        params, rep = train_supervised(
+            params, xt, ut, x_val, u_val, width_dim=width_dim, lr=lr,
+            epochs=epochs, batch_size=batch_size, seed=seed + r)
+        report.train_losses.extend(rep.train_losses)
+        report.val_losses.extend(rep.val_losses)
+        if closed_loop_val_fn is not None:
+            sel = float(closed_loop_val_fn(params))
+            report.cl_val_losses.append(sel)
+            if sel < best_val:
+                best_val = sel
+                best_params = jax.tree.map(lambda a: a.copy(), params)
+            if log_fn:
+                log_fn(r, rep.train_losses[-1], sel)
+        if r == rounds - 1:
+            break
+        key, k_ref, k_roll = jax.random.split(key, 3)
+        refs = ref_streams.sample_references(k_ref, n_traj, ref_variant,
+                                             t_steps, dtype=jnp.float32)
+        feats, labels = dagger_rollout(
+            params, in_scaler, u_scaler, mpc_cfg, refs, k_roll,
+            width_dim=width_dim, variant=variant, process_std=process_std,
+            backend=backend)
+        feats = _np.asarray(feats).reshape(-1, 3)
+        labels = _np.asarray(labels).reshape(-1, 1)
+        X.append(_np.asarray(in_scaler.transform(jnp.asarray(feats)),
+                             _np.float32))
+        U.append(_np.asarray(u_scaler.transform(jnp.asarray(labels)),
+                             _np.float32))
+    report.wall_time_s = time.time() - t0
+    if best_params is not None:
+        params = best_params
+    return params, report
+
+
 def train_surrogate(params, x_train, y_train, x_val, y_val, *, lr=1e-3,
                     weight_decay=1e-2, epochs=50, batch_size=256, seed=0,
                     log_fn: Callable | None = None, mesh=None):

@@ -49,6 +49,11 @@ class GenerateConfig:
     # Per-iteration solver trace in the telemetry (Diagnostics.trace) —
     # feeds the optimizer-diagnostics dashboard's convergence panels.
     record_trace: bool = False
+    # Solver backend: "sqp" (condensed GN), "ilqr" (AL-iLQR Riccati), or
+    # "auto" — measured-best per horizon (loop.closed_loop.resolve_backend:
+    # sqp for N <= 12, ilqr beyond; the N=25 flagship runs 13x faster on
+    # the Riccati backend).
+    backend: str = "auto"
     flags: Flags = Flags()
 
 
@@ -78,6 +83,13 @@ class SupervisedConfig:
     ub_u: float | None = None
     solver_preset: str = "default"    # MPC baseline eval solver (see
                                       # GenerateConfig.solver_preset)
+    backend: str = "auto"             # see GenerateConfig.backend
+    # Measure honest per-step latency distributions (Mean/Std/Median/
+    # p25/p75) through the single-stream stepper for the result tables,
+    # like the reference's do_mpc Timer stats; the batched engine's
+    # amortized per-solve number is reported as its own Amortized_time
+    # column.  Costs one extra AOT stepper compile per controller.
+    latency_profile: bool = True
     # Independent training replicas, best selected by true-plant
     # closed-loop validation MAE (cf. the reference's 10 "sim" replicas,
     # Supervised Learning/Main.py sim loop).
@@ -127,7 +139,19 @@ class UnsupervisedConfig:
     # TPU-native alternative — analytic policy gradients through the true
     # differentiable RK4 plant (nn/train.train_plant_in_loop); no surrogate
     # bias to exploit, same controller architecture and deployment path.
+    # "dagger": iterated imitation with the batched MPC teacher relabeling
+    # the student's own closed-loop states (nn/train.train_dagger) — fixes
+    # imitation covariate shift; affordable only because one labeling pass
+    # is a single fused batched program here.
     train_mode: str = "surrogate"
+    # DAgger knobs (train_mode="dagger").
+    dagger_rounds: int = 4
+    dagger_n_traj: int = 16           # fresh streams labeled per round
+    dagger_epochs: int = 30           # imitation epochs per round
+    # Teacher solver preset for DAgger labeling (see GenerateConfig
+    # .solver_preset); the chain runner passes its --preset through so the
+    # student imitates the same teacher that generated its round-0 data.
+    solver_preset: str = "default"
     plant_steps: int = 300            # optimizer steps for train_mode="plant"
     plant_n_traj: int = 32            # fresh reference streams per step
     # Warm-start the plant-in-loop policy by imitation pretraining on the
@@ -138,6 +162,7 @@ class UnsupervisedConfig:
     plant_pretrain: bool = True
     plant_pretrain_epochs: int = 20
     plant_lr: float = 1e-4            # fine-tune lr; use ~1e-3 from scratch
+    latency_profile: bool = True      # see SupervisedConfig.latency_profile
     # Train n_seeds independent controllers and keep the one with the best
     # true-plant closed-loop validation MAE.  The reference trains 10 "sim"
     # replicas per config (Supervised Learning/Main.py sim loop) and their

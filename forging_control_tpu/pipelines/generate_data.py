@@ -44,7 +44,7 @@ def run(cfg: GenerateConfig = GenerateConfig(), *, seed: int = 0,
         t_steps=cfg.t_traj, variant=mpc_cfg.variant,
         process_std=cfg.process_std if cfg.flags.enable_noise else (0.0,) * 5,
         meas_std=cfg.meas_std)
-    ctrl = cl.MPCController(mpc_cfg)
+    ctrl = cl.MPCController(mpc_cfg, backend=cfg.backend)
 
     key = jax.random.PRNGKey(seed)
     if exact_reference_streams:

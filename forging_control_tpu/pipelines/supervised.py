@@ -129,7 +129,7 @@ def run(results: dict, cfg: SupervisedConfig = SupervisedConfig(), *,
     mpc_cfg = make(
         horizon=cfg.horizon, variant="smooth", gn_iters=6, al_iters=2,
         p_max=32e6 if cfg.flags.enable_feasibility else None)
-    mpc_ctrl = cl.MPCController(mpc_cfg)
+    mpc_ctrl = cl.MPCController(mpc_cfg, backend=cfg.backend)
 
     policy = fnn.make_policy(params, in_sc, out_sc, cfg.width_dim,
                              cfg.lb_u, cfg.ub_u)
@@ -149,20 +149,28 @@ def run(results: dict, cfg: SupervisedConfig = SupervisedConfig(), *,
         per_step_ms = elapsed / cfg.t_traj * 1e3  # batched steps amortized
         return telem, per_step_ms
 
-    def loop_metrics(telem, per_step_ms):
+    def loop_metrics(telem, per_step_ms, ctrl=None):
         ref = np.asarray(telem.ref).ravel()
         y_dot = np.asarray(telem.x[..., 1]).ravel()
         m = {k: float(v) for k, v in metrics.tracking_metrics(
             jnp.asarray(ref), jnp.asarray(y_dot)).items()}
         m["Command"] = float(np.abs(np.asarray(telem.u)).mean())
-        m["Mean_time"] = per_step_ms
-        m["Median_time"] = per_step_ms
+        if cfg.latency_profile and ctrl is not None:
+            # Honest sequential per-step distribution (reference Timer
+            # semantics) via the single-stream stepper; the batched
+            # engine's amortized per-solve time is its own column.
+            m.update(metrics.latency_stats(
+                cl.stepper_latency(loop_cfg, ctrl, refs[0], dtype=dtype)))
+        else:
+            m["Mean_time"] = per_step_ms
+            m["Median_time"] = per_step_ms
+        m["Amortized_time"] = per_step_ms
         return m
 
     mpc_telem, mpc_ms = timed_run(mpc_ctrl)
     nn_telem, nn_ms = timed_run(nn_ctrl)
-    art.mpc_metrics = loop_metrics(mpc_telem, mpc_ms)
-    art.nn_metrics = loop_metrics(nn_telem, nn_ms)
+    art.mpc_metrics = loop_metrics(mpc_telem, mpc_ms, mpc_ctrl)
+    art.nn_metrics = loop_metrics(nn_telem, nn_ms, nn_ctrl)
     art.mpc_telem = mpc_telem
     art.nn_telem = nn_telem
 

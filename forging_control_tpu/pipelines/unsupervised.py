@@ -110,6 +110,19 @@ def run(results: dict, surrogate_params, state_scaler,
 
         def train_one(s):
             p0, _ = fnn.init(jax.random.PRNGKey(s), dtype=dtype)
+            if cfg.train_mode == "dagger":
+                make = {"default": sqp.MPCConfig, "fast": sqp.MPCConfig.fast,
+                        "ipopt_compat": sqp.MPCConfig.ipopt_compat}[
+                    cfg.solver_preset]
+                mpc_cfg = make(horizon=cfg.horizon, variant="smooth")
+                return train.train_dagger(
+                    p0, in_sc, u_sc, xtr, utr, xva, uva, mpc_cfg=mpc_cfg,
+                    rounds=cfg.dagger_rounds, n_traj=cfg.dagger_n_traj,
+                    t_steps=t_traj, epochs=cfg.dagger_epochs, seed=s,
+                    backend=cl.resolve_backend("auto", cfg.horizon),
+                    process_std=(PROCESS_STD if cfg.flags.enable_noise
+                                 else (0.0,) * 5),
+                    closed_loop_val_fn=cl_val_fn)
             if cfg.train_mode == "plant":
                 if cfg.plant_pretrain:
                     # Imitation pretrain on the teacher data, then refine
@@ -189,7 +202,12 @@ def run(results: dict, surrogate_params, state_scaler,
     nn_metrics = {k: float(v) for k, v in metrics.tracking_metrics(
         jnp.asarray(ref), jnp.asarray(y_dot)).items()}
     nn_metrics["Command"] = float(np.abs(np.asarray(telem.u)).mean())
-    nn_metrics["Mean_time"] = per_step_ms
+    if cfg.latency_profile:
+        nn_metrics.update(metrics.latency_stats(
+            cl.stepper_latency(loop_cfg, ctrl, refs[0], dtype=dtype)))
+    else:
+        nn_metrics["Mean_time"] = per_step_ms
+    nn_metrics["Amortized_time"] = per_step_ms
     art.nn_metrics = nn_metrics
     art.nn_telem = telem
 

@@ -185,12 +185,13 @@ def recover_warm(cfg: FeasibilityConfig, u_nn, x0, warm: WarmStart,
     dtype = jnp.result_type(u_nn)
     _al_residual, run = _al_core(cfg, u_nn, x0, dtype)
 
-    u, lam = run(jnp.asarray(warm.u, dtype), jnp.asarray(warm.lam, dtype))
+    wu = jnp.asarray(warm.u, dtype)
+    u, lam = run(wu, jnp.asarray(warm.lam, dtype))
     c = _lookahead_constraints(cfg, x0, u)
     violation = jnp.maximum(jnp.max(-c), 0.0)
 
     failed = violation > fail_tol
-    u_out = jnp.where(failed, warm.u, u)
+    u_out = jnp.where(failed, wu, u)
     zero = init_warm(cfg, dtype)
     new_warm = WarmStart(
         u=jnp.where(failed, zero.u, u),

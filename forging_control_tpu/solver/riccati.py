@@ -51,7 +51,7 @@ import jax.numpy as jnp
 from ..integrate.rk4 import rk4_step
 from ..physics import press
 from ..physics.scaling import U_SCALE
-from .sqp import Diagnostics, MPCConfig, _P_SCALE
+from .sqp import TRACE_COLS, Diagnostics, MPCConfig, _P_SCALE, polish
 
 # Forward line-search ladder on the feedforward term.  Small trailing
 # alphas matter near the cavitation transient where the Gauss-Newton model
@@ -289,24 +289,51 @@ def solve_batch(cfg: MPCConfig, x0, ref, u_prev, state: ILQRState):
         d_n = jnp.where(take, jnp.linalg.norm(v_best - v, axis=-1), 0.0)
         a_n = jnp.where(take, alphas[best], alpha_l)
         it_n = it_used + jnp.where(converged, 0, 1)
-        return (v_n, zs_n, zN_n, lam, mu, it_n, d_n, qmax, a_n), None
+        ys = None
+        if cfg.record_trace:
+            # Per-iteration record at the incoming iterate (TRACE_COLS
+            # layout, matching sqp.solve's trace): true objective and
+            # primal infeasibility from the carried trajectory, dual
+            # infeasibility max|Q_v|, accepted step norm/size, AL penalty.
+            arr_t = jnp.concatenate([zs[:, 1:, :5], zN[:, None, :5]], axis=1)
+            cs_t = _constraints(cfg, arr_t)
+            tr_t = jnp.concatenate([zs[:, 1:, 1], zN[:, 1:2]],
+                                   axis=1) - ref[:, None]
+            dv_t = v - zs[:, :, 5]
+            obj_t = jnp.sum(tr_t * tr_t, axis=1) \
+                + cfg.rterm * jnp.sum(dv_t * dv_t, axis=1)
+            ys = jnp.stack(
+                [obj_t, jnp.maximum(jnp.max(-cs_t, axis=(1, 2)), 0.0),
+                 qmax, d_n, a_n,
+                 jnp.broadcast_to(jnp.asarray(mu, dtype), (B,))], axis=-1)
+        return (v_n, zs_n, zN_n, lam, mu, it_n, d_n, qmax, a_n), ys
 
     def al_round(carry, _):
-        carry, _ = jax.lax.scan(gn_iter, carry, None, length=cfg.gn_iters)
+        carry, tr = jax.lax.scan(gn_iter, carry, None, length=cfg.gn_iters)
         v, zs, zN, lam, mu, it_used, d_norm, inf_du, alpha_l = carry
         # Constraints at the arrival states x_1..x_N.
         arr = jnp.concatenate([zs[:, 1:, :5], zN[:, None, :5]], axis=1)
         cs = _constraints(cfg, arr)                        # (B, N, nc)
         lam_new = jnp.maximum(lam - mu * cs, 0.0)
         return (v, zs, zN, lam_new, mu * cfg.mu_factor, it_used, d_norm,
-                inf_du, alpha_l), None
+                inf_du, alpha_l), tr
 
     zs0, zN0 = _rollout_batch(cfg, x0, u_prev_s, state.v)
     init = (state.v, zs0, zN0, state.lam, jnp.asarray(cfg.mu0, dtype),
             jnp.zeros((B,), jnp.int32), jnp.zeros((B,), dtype),
             jnp.zeros((B,), dtype), jnp.zeros((B,), dtype))
-    (v, zs, zN, lam, mu, iters, d_norm, inf_du, alpha), _ = jax.lax.scan(
+    (v, zs, zN, lam, mu, iters, d_norm, inf_du, alpha), traces = jax.lax.scan(
         al_round, init, None, length=cfg.al_iters)
+
+    if cfg.polish_iters > 0:
+        # Active-set Newton polish (sqp.polish): same NLP, same decision
+        # vector v, so the condensed polish applies verbatim per scenario.
+        # The stage-major (N, nc) multipliers map to the condensed solver's
+        # type-major layout (concat over constraint types of all stages).
+        lam_flat = jnp.swapaxes(lam, 1, 2).reshape(B, -1)
+        v = jax.vmap(lambda xi, ri, ui, vi, li: polish(
+            cfg, xi, ri, ui, vi, li))(x0, ref, u_prev_s, v, lam_flat)
+        zs, zN = _rollout_batch(cfg, x0, u_prev_s, v)
 
     arr = jnp.concatenate([zs[:, 1:, :5], zN[:, None, :5]], axis=1)
     cs = _constraints(cfg, arr)
@@ -322,7 +349,11 @@ def solve_batch(cfg: MPCConfig, x0, ref, u_prev, state: ILQRState):
         reg=jnp.full((B,), cfg.lm_reg, dtype),
         d_norm=d_norm,
         mu=jnp.full((B,), mu, dtype),
-        alpha=alpha)
+        alpha=alpha,
+        # (al, gn, B, C) -> (B, al*gn, C), matching sqp.solve's layout.
+        trace=(jnp.moveaxis(traces, 2, 0).reshape(
+            B, cfg.al_iters * cfg.gn_iters, len(TRACE_COLS))
+            if cfg.record_trace else None))
     return v[:, 0] * U_SCALE, ILQRState(v=v, lam=lam), diag
 
 

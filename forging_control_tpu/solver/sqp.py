@@ -556,21 +556,38 @@ def solve_batch(cfg: MPCConfig, x0, ref, u_prev, state: SolverState, *,
         d_new = jnp.where(take, dns[bidx, best], 0.0)
         a_new = jnp.where(take, alphas[best], alpha_last)
         it_new = it_used + jnp.where(converged, 0, 1)
-        return (v_new, lam, mu, it_new, d_new, gnorm, a_new), None
+        ys = None
+        if cfg.record_trace:
+            # Per-iteration record at the incoming iterate (TRACE_COLS
+            # layout, matching solve's trace).  Raw constraint values need
+            # one extra (Jacobian-free) rollout; only paid when tracing.
+            c = jax.vmap(lambda xs: _constraints(cfg, xs))(
+                batched_rollout(x0, v))
+            r_obj = r[:, :2 * N]
+            ys = jnp.stack(
+                [jnp.sum(r_obj * r_obj, axis=-1),
+                 jnp.maximum(jnp.max(-c, axis=-1), 0.0), gnorm, d_new,
+                 a_new, jnp.broadcast_to(jnp.asarray(mu, dtype), (B,))],
+                axis=-1)
+        return (v_new, lam, mu, it_new, d_new, gnorm, a_new), ys
 
     def al_round(carry, _):
-        carry, _ = jax.lax.scan(gn_round, carry, None, length=cfg.gn_iters)
+        carry, tr = jax.lax.scan(gn_round, carry, None, length=cfg.gn_iters)
         v, lam, mu, it_used, d_norm, inf_du, alpha_last = carry
         c = jax.vmap(lambda xs: _constraints(cfg, xs))(batched_rollout(x0, v))
         lam_new = jnp.maximum(lam - mu * c, 0.0)
         return (v, lam_new, mu * cfg.mu_factor, it_used, d_norm, inf_du,
-                alpha_last), None
+                alpha_last), tr
 
     zb = jnp.zeros((B,), dtype)
     init = (state.v, state.lam, jnp.asarray(cfg.mu0, dtype),
             jnp.zeros((B,), jnp.int32), zb, zb, zb)
-    (v, lam, mu, iters, d_norm, inf_du, alpha), _ = jax.lax.scan(
+    (v, lam, mu, iters, d_norm, inf_du, alpha), traces = jax.lax.scan(
         al_round, init, None, length=cfg.al_iters)
+
+    if cfg.polish_iters > 0:
+        v = jax.vmap(lambda xi, ri, ui, vi, li: polish(
+            cfg, xi, ri, ui, vi, li))(x0, ref, u_prev_s, v, lam)
 
     xs = batched_rollout(x0, v)
     c = jax.vmap(lambda x: _constraints(cfg, x))(xs)
@@ -586,5 +603,9 @@ def solve_batch(cfg: MPCConfig, x0, ref, u_prev, state: SolverState, *,
         d_norm=d_norm,
         mu=jnp.full((B,), mu, dtype),
         alpha=alpha,
+        # (al, gn, B, C) -> (B, al*gn, C), matching solve's layout.
+        trace=(jnp.moveaxis(traces, 2, 0).reshape(
+            B, cfg.al_iters * cfg.gn_iters, len(TRACE_COLS))
+            if cfg.record_trace else None),
     )
     return v[:, 0] * U_SCALE, SolverState(v=v, lam=lam), diag

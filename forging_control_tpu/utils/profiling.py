@@ -64,10 +64,11 @@ def solver_phase_breakdown(cfg, batch: int = 256, reps: int = 3,
     key = key if key is not None else jax.random.PRNGKey(0)
     N = cfg.horizon
 
+    k1, k2, k3 = jax.random.split(key, 3)
     x0 = jnp.tile(jnp.asarray(press.X0_REFERENCE, dtype), (batch, 1))
-    x0 = x0 * (1.0 + 0.01 * jax.random.normal(key, x0.shape, dtype))
-    ref = jax.random.uniform(key, (batch,), dtype, -0.9, 0.9)
-    v = 0.05 * jax.random.normal(key, (batch, N), dtype)
+    x0 = x0 * (1.0 + 0.01 * jax.random.normal(k1, x0.shape, dtype))
+    ref = jax.random.uniform(k2, (batch,), dtype, -0.9, 0.9)
+    v = 0.05 * jax.random.normal(k3, (batch, N), dtype)
     u_prev = jnp.zeros((batch,), dtype)
 
     def obj(x, r, up, vv):

@@ -55,7 +55,9 @@ class ProgressBar:
             bar = "█" * filled + "░" * (self.width - filled)
             line = (f"\r{self.label} |{bar}| {self.n}/{self.total} "
                     f"[{rate:.1f}/s, eta {eta:.0f}s] {msg}")
-            self.stream.write(line[:200].ljust(80))
+            # \x1b[K clears to end-of-line so a shorter render never
+            # leaves residue from a longer previous one.
+            self.stream.write(line[:200] + "\x1b[K")
         else:
             pct = 100 * self.n // self.total
             self.stream.write(

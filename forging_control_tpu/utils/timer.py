@@ -36,6 +36,6 @@ class Timer:
             "Mean_time": float(t.mean()),
             "Std_time": float(t.std()),
             "Median_time": float(np.percentile(t, 50)),
-            "Percentile_25": float(np.percentile(t, 25)),
-            "Percentile_75": float(np.percentile(t, 75)),
+            "25_perc": float(np.percentile(t, 25)),
+            "75_perc": float(np.percentile(t, 75)),
         }

@@ -17,8 +17,11 @@ Usage: python scripts/feasibility_ab.py [batch] [steps]
 """
 
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -74,8 +77,9 @@ def main():
         con = jax.jit(jax.vmap(jax.vmap(
             lambda xx, uu: feasibility._lookahead_constraints(cfg, xx, uu))))
         c = np.asarray(con(jnp.asarray(x_pre), jnp.asarray(telem.u)))
-        u_nn = np.clip(4.0 * (np.asarray(telem.ref) - x_pre[:, :, 1]),
-                       -0.3, 0.3)
+        u_nn = np.asarray(jax.vmap(jax.vmap(base, in_axes=(0, 0, None)),
+                                   in_axes=(0, 0, None))(
+            jnp.asarray(x_pre), jnp.asarray(telem.ref), 0.0))
         return float(np.maximum(-c, 0).max()), float(
             np.abs(np.asarray(telem.u) - u_nn).mean())
 

@@ -50,7 +50,7 @@ def main():
     ap.add_argument("--n-traj", type=int, default=80)
     ap.add_argument("--stages", default=",".join(ALL_STAGES))
     ap.add_argument("--unsup-mode", default="both",
-                    choices=["surrogate", "plant", "both"],
+                    choices=["surrogate", "plant", "dagger", "both", "all"],
                     help="'surrogate' = reference protocol (MPC-loss through"
                          " the frozen LSTM); 'plant' = analytic policy"
                          " gradients through the true RK4 plant")
@@ -211,16 +211,19 @@ def main():
         # reference's 20 under our init/seed (test MAE 0.044 -> 0.027).
         ucfg = config.UnsupervisedConfig(
             horizon=args.horizon, epochs=max(1, int(60 * args.epochs_scale)),
-            flags=flags, n_seeds=args.seeds)
+            flags=flags, n_seeds=args.seeds, solver_preset=args.preset)
         modes = {"surrogate": ["surrogate"], "plant": ["plant"],
-                 "both": ["surrogate", "plant"]}[args.unsup_mode]
+                 "dagger": ["dagger"],
+                 "both": ["surrogate", "plant"],
+                 "all": ["surrogate", "plant", "dagger"]}[args.unsup_mode]
         for mode in modes:
             u_art = unsupervised.run(
                 results, surrogate_params, state_scaler,
                 dataclasses.replace(ucfg, train_mode=mode),
                 seed=0, closed_loop_eval=True,
                 out_dir=args.out if mode == "surrogate" else None)
-            key = "unsupervised" if mode == "surrogate" else "unsupervised_plant"
+            key = ("unsupervised" if mode == "surrogate"
+                   else f"unsupervised_{mode}")
             summary[key] = {"test": u_art.test_metrics,
                             "nn": u_art.nn_metrics,
                             "surrogate_drift": u_art.surrogate_drift}

@@ -95,6 +95,9 @@ SLOW_TESTS = {
     "test_recover_warm_vmap",
     "test_solver_phase_breakdown",
     "test_single_stream_stepper",
+    "test_solve_batch_trace_matches_vmap", "test_solve_batch_polish_matches_vmap",
+    "test_riccati_trace_schema", "test_riccati_polish_approaches_full_sqp",
+    "test_riccati_trace_flows_through_closed_loop",
 }
 
 

@@ -61,17 +61,54 @@ def main():
     _, telem = run(x0_g, refs_g, jax.random.PRNGKey(0))
 
     metrics = pmesh.sharded_metrics(mesh)(telem.ref, telem.x[..., 1])
-    checksum = jax.jit(
-        lambda u: jnp.sum(u),
-        out_shardings=jax.sharding.NamedSharding(
-            mesh, jax.sharding.PartitionSpec()))(telem.u)
+    rep_sh = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+    checksum = jax.jit(lambda u: jnp.sum(u), out_shardings=rep_sh)(telem.u)
+
+    # (b) Fused explicit-batch path (AL-iLQR backend, solve_batch body)
+    # across the same process boundary (VERDICT r2 task 7).
+    ctrl_ilqr = cl.MPCController(cfg, backend="ilqr")
+    _, telem_i = pmesh.sharded_closed_loop(loop_cfg, ctrl_ilqr, mesh)(
+        x0_g, refs_g, jax.random.PRNGKey(0))
+    checksum_i = jax.jit(lambda u: jnp.sum(u), out_shardings=rep_sh)(
+        telem_i.u)
+
+    # (c) One data-parallel training step: psum-averaged gradients across
+    # the two processes, replicated parameter update.
+    import optax
+
+    from forging_control_tpu.nn import fnn, train as train_mod
+
+    p0, _ = fnn.init(jax.random.PRNGKey(0), dtype=jnp.float64)
+    tx = optax.adamw(1e-3)
+    o0 = tx.init(p0)
+    xb_all = np.linspace(-1.0, 1.0, 8 * 3).reshape(8, 3)
+    yb_all = np.tanh(xb_all.sum(axis=1, keepdims=True))
+    rows = 8 // nproc
+    xb_g, yb_g = launcher.host_local_batch_to_global(
+        mesh, (xb_all[pid * rows:(pid + 1) * rows],
+               yb_all[pid * rows:(pid + 1) * rows]))
+    p0_r, o0_r = jax.device_put((p0, o0), rep_sh)
+
+    def loss_fn(params, batch):
+        xb, yb = batch
+        return train_mod.l1_loss(fnn.apply(params, xb), yb)
+
+    step = pmesh.data_parallel_update(mesh, loss_fn, tx)
+    p1, _, loss = step(p0_r, o0_r, (xb_g, yb_g))
+    grad_checksum = float(jax.jit(
+        lambda t: sum(jnp.sum(l) for l in jax.tree.leaves(t)),
+        out_shardings=rep_sh)(p1))
+
     json.dump({"process_id": pid,
                "process_count": jax.process_count(),
                "global_devices": int(n_global),
                "MAE": float(metrics["MAE"]),
                "RMSE": float(metrics["RMSE"]),
                "R2": float(metrics["R2"]),
-               "u_checksum": float(checksum)},
+               "u_checksum": float(checksum),
+               "u_checksum_ilqr": float(checksum_i),
+               "dp_loss": float(loss),
+               "dp_param_checksum": grad_checksum},
               open(out, "w"))
 
 

@@ -135,3 +135,20 @@ def test_config_bundle_round_trip(tmp_path):
         p = tmp_path / f"bundle_{i}.json"
         config.save_config(str(p), cfg)
         assert config.load_config(str(p)) == cfg
+
+
+def test_backend_auto_resolution():
+    """GenerateConfig/SupervisedConfig backend="auto" resolves to the
+    measured-best solver per horizon (VERDICT r2 task 2)."""
+    from forging_control_tpu.loop import closed_loop as cl
+    from forging_control_tpu.solver import sqp as sqp_mod
+
+    assert cl.resolve_backend("auto", 10) == "sqp"
+    assert cl.resolve_backend("auto", 12) == "sqp"
+    assert cl.resolve_backend("auto", 13) == "ilqr"
+    assert cl.resolve_backend("auto", 25) == "ilqr"
+    assert cl.resolve_backend("ilqr", 5) == "ilqr"
+    ctrl = cl.MPCController(sqp_mod.MPCConfig(horizon=25), backend="auto")
+    assert ctrl.backend == "ilqr" and ctrl.supports_batch
+    ctrl = cl.MPCController(sqp_mod.MPCConfig(horizon=10), backend="auto")
+    assert ctrl.backend == "sqp"

@@ -97,7 +97,7 @@ def test_timer_stats():
         t.toc()
     s = t.stats_ms()
     assert set(s) == {"Mean_time", "Std_time", "Median_time",
-                      "Percentile_25", "Percentile_75"}
+                      "25_perc", "75_perc"}
 
 
 def test_cli_generate(tmp_path, capsys):
@@ -216,3 +216,31 @@ def test_progress_bar_non_tty():
     log(0, 0.5, 0.6)
     log(1, 0.4, 0.5)
     assert "loss 0.40000" in buf2.getvalue()
+
+
+def test_dompc_pickle_round_trip(tmp_path):
+    """Writer emits the reference's do_mpc.data.save_results format; our
+    own do-mpc-free loader reads it back to the identical results dict
+    (VERDICT r2 task 9)."""
+    import numpy as np
+
+    from forging_control_tpu.utils import dompc_pickle
+
+    rng = np.random.default_rng(0)
+    n, t = 3, 50
+    results = {k: rng.normal(size=(n, t)) for k in
+               ("y", "y_dot", "p1", "p2", "z", "ref", "u", "F_d")}
+    path = str(tmp_path / "forging_test_N_10.pkl")
+    dompc_pickle.save(path, results)
+
+    recs = dompc_pickle.load(path)
+    assert set(recs) == {"mpc", "simulator"}
+    assert recs["mpc"]["_x"].shape == (n * t, 5)
+    assert recs["mpc"]["_aux"].shape == (n * t, 2)
+    # per-trajectory clock restarts at 0
+    tcol = recs["mpc"]["_time"][:, 0]
+    assert tcol[0] == 0.0 and tcol[t] == 0.0 and tcol[1] == 1e-3
+
+    back = dompc_pickle.to_results(recs["mpc"], t_traj=t)
+    for k in results:
+        np.testing.assert_allclose(back[k], results[k], rtol=0, atol=0)
