@@ -50,14 +50,18 @@ def _emit_dashboards(telem, out_dir: str, tag: str):
 
 
 def cmd_generate(args):
+    import time
+
     from .pipelines import generate_data
     cfg = pcfg.GenerateConfig(
         n_traj=args.n_traj, t_traj=args.t_traj, horizon=args.horizon,
         solver_preset=args.solver_preset, record_trace=args.trace,
         backend=args.backend, flags=_flags(args))
+    t0 = time.time()
     telem, results = generate_data.run(
         cfg, seed=args.seed,
         exact_reference_streams=not args.random_refs)
+    wall_s = time.time() - t0
     path = generate_data.dataset_path(args.out, cfg.horizon)
     generate_data.save(results, path)
     summ = generate_data.summarize(results)
@@ -66,6 +70,9 @@ def cmd_generate(args):
         pkl = path[:-4] + ".pkl"
         dompc_pickle.save(pkl, results)
         summ["dataset_pkl"] = pkl
+    summ["backend"] = args.backend
+    summ["wall_s"] = round(wall_s, 2)
+    summ["solves"] = cfg.n_traj * cfg.t_traj
     log.info(json.dumps({"dataset": path, **summ}))
     if args.plots:
         _emit_dashboards(telem, args.out, f"MPC_N_{cfg.horizon}")

@@ -148,6 +148,9 @@ class UnsupervisedConfig:
     dagger_rounds: int = 4
     dagger_n_traj: int = 16           # fresh streams labeled per round
     dagger_epochs: int = 30           # imitation epochs per round
+    # Plant-BPTT fine-tune after DAgger (measured eval MAE 0.0493 vs
+    # 0.0499 DAgger-only vs reference 0.0559; scripts/unsup_win_exp.py).
+    dagger_plant_finetune: bool = True
     # Teacher solver preset for DAgger labeling (see GenerateConfig
     # .solver_preset); the chain runner passes its --preset through so the
     # student imitates the same teacher that generated its round-0 data.

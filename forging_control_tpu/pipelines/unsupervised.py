@@ -78,6 +78,22 @@ def prepare_data(results: dict, state_scaler, cfg: UnsupervisedConfig,
     return triples(tr), triples(va), triples(te), in_sc, u_sc
 
 
+def _full_density(results: dict, in_sc, u_sc):
+    """Full-density supervised pairs (state_t -> u_{t+1}) in scaled units —
+    the supervised pipeline's dataset shape, used as DAgger's round-0
+    imitation set (the every-Nth MPC-loss resampling starves it)."""
+    y_dot = results["y_dot"].ravel()
+    z = results["z"].ravel()
+    ref = results["ref"].ravel()
+    u = results["u"].ravel()[:, None]
+    tr, va, _ = datasets.split_603030(len(y_dot))
+    feats = np.stack([y_dot, z, ref], axis=1).astype(np.float32)
+    feats_s = np.asarray(in_sc.transform(jnp.asarray(feats)))
+    targ_s = np.asarray(u_sc.transform(jnp.asarray(u))).astype(np.float32)
+    return (feats_s[tr][:-1], targ_s[tr][1:],
+            feats_s[va][:-1], targ_s[va][1:])
+
+
 def make_closed_loop_val(in_sc, u_sc, *, n_traj: int = 8, t_traj: int = 300,
                          dtype=jnp.float32, seed: int = 0,
                          variant: str = "smooth",
@@ -115,14 +131,39 @@ def run(results: dict, surrogate_params, state_scaler,
                         "ipopt_compat": sqp.MPCConfig.ipopt_compat}[
                     cfg.solver_preset]
                 mpc_cfg = make(horizon=cfg.horizon, variant="smooth")
-                return train.train_dagger(
-                    p0, in_sc, u_sc, xtr, utr, xva, uva, mpc_cfg=mpc_cfg,
+                # Round-0 imitation uses the FULL-density dataset (the
+                # supervised pipeline's 14.4k rows, not the every-Nth
+                # MPC-loss resampling): measured eval 0.0499 vs 0.052+
+                # from the resampled seed (scripts/unsup_win_exp.py).
+                xf, uf, xvf, uvf = _full_density(results, in_sc, u_sc)
+                p1, rep1 = train.train_dagger(
+                    p0, in_sc, u_sc, xf, uf, xvf, uvf, mpc_cfg=mpc_cfg,
                     rounds=cfg.dagger_rounds, n_traj=cfg.dagger_n_traj,
                     t_steps=t_traj, epochs=cfg.dagger_epochs, seed=s,
                     backend=cl.resolve_backend("auto", cfg.horizon),
                     process_std=(PROCESS_STD if cfg.flags.enable_noise
                                  else (0.0,) * 5),
                     closed_loop_val_fn=cl_val_fn)
+                if cfg.dagger_plant_finetune:
+                    p2, rep2 = train.train_plant_in_loop(
+                        p1, in_sc, u_sc, t_steps=t_traj,
+                        n_traj=cfg.plant_n_traj, steps=cfg.plant_steps,
+                        lr=cfg.plant_lr, rterm=0.02, seed=s,
+                        process_std=(PROCESS_STD if cfg.flags.enable_noise
+                                     else (0.0,) * 5),
+                        closed_loop_val_fn=cl_val_fn)
+                    # Keep whichever stage validated best on the shared
+                    # panel (the fine-tune starts from p1 but can wander).
+                    keep_p1 = (cl_val_fn is not None and rep1.cl_val_losses
+                               and rep2.cl_val_losses
+                               and min(rep1.cl_val_losses)
+                               < min(rep2.cl_val_losses))
+                    rep2.train_losses = rep1.train_losses + rep2.train_losses
+                    rep2.cl_val_losses = (rep1.cl_val_losses
+                                          + rep2.cl_val_losses)
+                    rep2.wall_time_s += rep1.wall_time_s
+                    return (p1 if keep_p1 else p2), rep2
+                return p1, rep1
             if cfg.train_mode == "plant":
                 if cfg.plant_pretrain:
                     # Imitation pretrain on the teacher data, then refine
@@ -219,17 +260,21 @@ def run(results: dict, surrogate_params, state_scaler,
         preds[:-1], track[cfg.lookback + 1:, :4])
 
     if out_dir:
-        # Reference-format artifacts (Unsupervised Learning/Main.py:895-934)
-        from ..eval import report
-        sfx = f"N_{cfg.horizon}" + ("_noise" if cfg.flags.enable_noise
-                                    else "")
-        sub = "Feasibility" if cfg.flags.enable_feasibility else "Normal"
-        report.show_tabulate(art.test_metrics,
-                             f"{out_dir}/Tables/{sub}/test_results_{sfx}.csv",
-                             echo=False)
-        report.show_tabulate(art.nn_metrics,
-                             f"{out_dir}/Tables/{sub}/NN_results_{sfx}.csv",
-                             echo=False)
-        report.dump_dataframe(f"{out_dir}/results/Unsupervised_dataframe.txt",
-                              telem)
+        write_artifacts(art, cfg, out_dir)
     return art
+
+
+def write_artifacts(art: UnsupervisedArtifacts, cfg: UnsupervisedConfig,
+                    out_dir: str) -> None:
+    """Reference-format artifacts (Unsupervised Learning/Main.py:895-934)."""
+    from ..eval import report
+    sfx = f"N_{cfg.horizon}" + ("_noise" if cfg.flags.enable_noise else "")
+    sub = "Feasibility" if cfg.flags.enable_feasibility else "Normal"
+    report.show_tabulate(art.test_metrics,
+                         f"{out_dir}/Tables/{sub}/test_results_{sfx}.csv",
+                         echo=False)
+    report.show_tabulate(art.nn_metrics,
+                         f"{out_dir}/Tables/{sub}/NN_results_{sfx}.csv",
+                         echo=False)
+    report.dump_dataframe(f"{out_dir}/results/Unsupervised_dataframe.txt",
+                          art.nn_telem)

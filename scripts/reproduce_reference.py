@@ -216,19 +216,39 @@ def main():
                  "dagger": ["dagger"],
                  "both": ["surrogate", "plant"],
                  "all": ["surrogate", "plant", "dagger"]}[args.unsup_mode]
+        arts = {}
         for mode in modes:
             u_art = unsupervised.run(
                 results, surrogate_params, state_scaler,
                 dataclasses.replace(ucfg, train_mode=mode),
-                seed=0, closed_loop_eval=True,
-                out_dir=args.out if mode == "surrogate" else None)
-            key = ("unsupervised" if mode == "surrogate"
-                   else f"unsupervised_{mode}")
-            summary[key] = {"test": u_art.test_metrics,
-                            "nn": u_art.nn_metrics,
-                            "surrogate_drift": u_art.surrogate_drift}
+                seed=0, closed_loop_eval=True, out_dir=None)
+            arts[mode] = u_art
+            summary[f"unsupervised_{mode}"] = {
+                "test": u_art.test_metrics, "nn": u_art.nn_metrics,
+                "surrogate_drift": u_art.surrogate_drift}
             save_json("summary.json", summary)
-            print(json.dumps({"stage": key, **summary[key]}), flush=True)
+            print(json.dumps({"stage": f"unsupervised_{mode}",
+                              **summary[f"unsupervised_{mode}"]}),
+                  flush=True)
+
+        # The headline "unsupervised" row ships the mode that validated
+        # best on the noisy 16-stream closed-loop panel (each mode's
+        # TrainReport.cl_val_losses; the same selection the pipeline's
+        # multi-seed path uses).  Tables/ + dataframe come from it.
+        def val_score(a):
+            cls = a.train_report.cl_val_losses
+            return min(cls) if cls else float("inf")
+
+        best_mode = min(arts, key=lambda m: val_score(arts[m]))
+        best = arts[best_mode]
+        unsupervised.write_artifacts(
+            best, dataclasses.replace(ucfg, train_mode=best_mode), args.out)
+        summary["unsupervised"] = {"train_mode": best_mode,
+                                   **summary[f"unsupervised_{best_mode}"]}
+        save_json("summary.json", summary)
+        print(json.dumps({"stage": "unsupervised", "train_mode": best_mode,
+                          **summary[f"unsupervised_{best_mode}"]}),
+              flush=True)
 
     print(json.dumps({"stage": "done", "out": args.out}), flush=True)
 

@@ -14,6 +14,10 @@ import json
 import os
 import sys
 
+if os.environ.get("FCT_CPU"):
+    os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+    os.environ["JAX_PLATFORMS"] = "cpu"
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 

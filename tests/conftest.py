@@ -98,6 +98,7 @@ SLOW_TESTS = {
     "test_solve_batch_trace_matches_vmap", "test_solve_batch_polish_matches_vmap",
     "test_riccati_trace_schema", "test_riccati_polish_approaches_full_sqp",
     "test_riccati_trace_flows_through_closed_loop",
+    "test_dagger_trainer_runs_and_labels",
 }
 
 

@@ -396,3 +396,36 @@ def test_scaler_from_sklearn_all_kinds():
         np.testing.assert_allclose(
             np.asarray(ours.inverse(ours.transform(jnp.asarray(x)))), x,
             rtol=0, atol=1e-9)
+
+
+def test_dagger_trainer_runs_and_labels():
+    """DAgger: the shadow MPC teacher labels the student's own closed-loop
+    states (finite labels, correct shapes) and the aggregate-retrain loop
+    returns usable parameters (VERDICT r3 task 1 machinery)."""
+    from forging_control_tpu.solver import sqp
+
+    cp, _ = fnn.init(jax.random.PRNGKey(0), dtype=jnp.float32)
+    in_sc = scalers.Scaler(jnp.zeros(3), jnp.asarray([0.4, 0.15, 0.4]))
+    u_sc = scalers.Scaler(jnp.zeros(1), jnp.asarray([0.2]))
+    cfg = sqp.MPCConfig(horizon=4, variant="smooth", gn_iters=2, al_iters=1)
+
+    refs = jnp.full((2, 6), 0.3, jnp.float32)
+    feats, labels = train.dagger_rollout(
+        cp, in_sc, u_sc, cfg, refs, jax.random.PRNGKey(1))
+    assert feats.shape == (2, 6, 3) and labels.shape == (2, 6)
+    assert np.all(np.isfinite(np.asarray(feats)))
+    assert np.all(np.isfinite(np.asarray(labels)))
+    # Labels are genuine solver output, not the student's own commands.
+    stud = jax.vmap(jax.vmap(fnn.make_policy(cp, in_sc, u_sc),
+                             in_axes=(0, 0, None)), in_axes=(0, 0, None))(
+        jnp.zeros((2, 6, 5)), refs, 0.0)
+    assert float(jnp.abs(labels - stud).max()) > 1e-6
+
+    rng = np.random.default_rng(0)
+    x0d = rng.normal(size=(32, 3)).astype(np.float32)
+    u0d = np.tanh(x0d.sum(1, keepdims=True)).astype(np.float32)
+    p2, rep = train.train_dagger(
+        cp, in_sc, u_sc, x0d, u0d, x0d[:8], u0d[:8], mpc_cfg=cfg,
+        rounds=2, n_traj=2, t_steps=6, epochs=2, batch_size=8, seed=0)
+    assert np.all(np.isfinite(rep.train_losses))
+    assert float(jnp.abs(p2["w_out"]).sum()) > 0
