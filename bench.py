@@ -65,16 +65,24 @@ def main():
     telem.u.block_until_ready()
     assert bool(np.isfinite(np.asarray(telem.u)).all()), "non-finite commands"
 
-    # XLA's static cost model for the whole closed-loop program -> MFU.
-    # This workload is tiny-tensor VPU work by construction (6x6 blocks,
-    # N<=25 horizons), so %-of-peak is intrinsically small; solves/s vs
-    # the IPOPT baseline is the governing metric.  Reported so the
-    # framework states its own roofline position (docs/RESULTS.md).
-    prog_flops = None
+    # XLA's static cost model -> MFU.  Analyzed on ONE batched solve
+    # program (not the 300-step scan: XLA's cost analysis counts a scan
+    # body once, undercounting the rollout ~T-fold).  This workload is
+    # tiny-tensor VPU work by construction (6x6 blocks, N<=25 horizons),
+    # so %-of-peak is intrinsically small; solves/s vs the IPOPT baseline
+    # is the governing metric.  Reported so the framework states its own
+    # roofline position (docs/RESULTS.md).
+    del compiled
+    flops_per_solve = None
     try:
-        ca = compiled.cost_analysis()
+        state0 = ctrl.init_carry_batch(B, dtype)
+        solve_prog = jax.jit(lambda s, x, r, u: ctrl.step_batch(s, x, r, u))
+        ca = solve_prog.lower(state0, x0, refs[:, 0],
+                              jnp.zeros((B,), dtype)).compile(
+                              ).cost_analysis()
         ca = ca[0] if isinstance(ca, list) else ca
-        prog_flops = float(ca["flops"]) if ca and "flops" in ca else None
+        if ca and "flops" in ca:
+            flops_per_solve = float(ca["flops"]) / B
     except Exception:
         pass
     peak = float(os.environ.get("BENCH_PEAK_FLOPS", 1.97e14))  # v5e bf16
@@ -96,9 +104,14 @@ def main():
         "unit": "solves/s",
         "vs_baseline": round(solves_per_s / baseline, 2),
     }
-    if prog_flops:
-        rec["flops_per_s"] = round(prog_flops / best, 1)
-        rec["mfu_pct"] = round(100.0 * prog_flops / best / peak, 4)
+    if flops_per_solve:
+        # XLA's model counts each lax.scan body once, so these are lower
+        # bounds (the AL x GN iteration scans multiply real work ~10x).
+        # Either way the conclusion is the same: this is tiny-tensor VPU
+        # work at <0.1% MFU by construction; solves/s is the metric.
+        rec["flops_per_solve_lb"] = round(flops_per_solve, 1)
+        rec["flops_per_s_lb"] = round(flops_per_solve * solves_per_s, 1)
+        rec["mfu_pct_lb"] = round(100.0 * rec["flops_per_s_lb"] / peak, 4)
     print(json.dumps(rec))
 
 

@@ -166,12 +166,15 @@ def run(results: dict, surrogate_params, state_scaler,
                 return p1, rep1
             if cfg.train_mode == "plant":
                 if cfg.plant_pretrain:
-                    # Imitation pretrain on the teacher data, then refine
-                    # through the true plant (see UnsupervisedConfig notes:
-                    # from-scratch plant training plateaus well above the
+                    # Imitation pretrain on the FULL-density teacher data
+                    # (the every-Nth resampling starves it — same fix as
+                    # the dagger branch), then refine through the true
+                    # plant (see UnsupervisedConfig notes: from-scratch
+                    # plant training plateaus well above the
                     # imitation-initialized optimum).
+                    xf, uf, xvf, uvf = _full_density(results, in_sc, u_sc)
                     p0, _ = train.train_supervised(
-                        p0, xtr, utr, xva, uva,
+                        p0, xf, uf, xvf, uvf,
                         epochs=cfg.plant_pretrain_epochs, seed=s)
                 return train.train_plant_in_loop(
                     p0, in_sc, u_sc, t_steps=t_traj,

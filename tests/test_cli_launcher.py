@@ -76,8 +76,10 @@ def test_two_process_distributed_closed_loop(tmp_path):
 
     r0, r1 = [json.load(open(o)) for o in outs]
     assert r0["process_count"] == 2 and r0["global_devices"] == 4
-    # Replicated results agree across processes bitwise.
-    for k in ("MAE", "RMSE", "R2", "u_checksum"):
+    # Replicated results agree across processes bitwise — including the
+    # fused iLQR batch path and the data-parallel training step.
+    for k in ("MAE", "RMSE", "R2", "u_checksum", "u_checksum_ilqr",
+              "dp_loss", "dp_param_checksum"):
         assert r0[k] == r1[k], (k, r0[k], r1[k])
 
     # Single-process reference run of the identical global batch.
@@ -93,3 +95,10 @@ def test_two_process_distributed_closed_loop(tmp_path):
     np.testing.assert_allclose(r0["MAE"], mae, rtol=1e-9)
     np.testing.assert_allclose(r0["u_checksum"], float(jnp.sum(telem.u)),
                                rtol=1e-9)
+
+    # Fused iLQR batch path: single-process reference of the same batch.
+    ctrl_i = cl.MPCController(cfg, backend="ilqr")
+    _, telem_i = jax.jit(lambda x, r, k: cl.run_batch(
+        loop_cfg, ctrl_i, x, r, k))(x0, refs, jax.random.PRNGKey(0))
+    np.testing.assert_allclose(r0["u_checksum_ilqr"],
+                               float(jnp.sum(telem_i.u)), rtol=1e-9)
