@@ -99,6 +99,7 @@ SLOW_TESTS = {
     "test_riccati_trace_schema", "test_riccati_polish_approaches_full_sqp",
     "test_riccati_trace_flows_through_closed_loop",
     "test_dagger_trainer_runs_and_labels",
+    "test_supervised_pipeline_feasibility_variant",
 }
 
 

@@ -152,3 +152,18 @@ def test_backend_auto_resolution():
     assert ctrl.backend == "ilqr" and ctrl.supports_batch
     ctrl = cl.MPCController(sqp_mod.MPCConfig(horizon=10), backend="auto")
     assert ctrl.backend == "sqp"
+
+
+def test_supervised_pipeline_feasibility_variant(small_dataset, tmp_path):
+    """enable_feasibility threads the recovery projection through the NN
+    closed loop and writes the Tables/Feasibility/ layout (the reference's
+    do_feasibility switch, Supervised Learning/Main.py:62-80)."""
+    _, _, results = small_dataset
+    cfg = config.SupervisedConfig(
+        horizon=5, n_traj_eval=1, t_traj=30, epochs=2, batch_size=32,
+        latency_profile=False,
+        flags=config.Flags(enable_feasibility=True))
+    art = supervised.run(results, cfg, seed=0, closed_loop_eval=True,
+                         out_dir=str(tmp_path), dtype=jnp.float64)
+    assert np.isfinite(art.nn_metrics["MAE"])
+    assert (tmp_path / "Tables/Feasibility/NN_results_N_5.csv").exists()
