@@ -41,7 +41,31 @@ def main():
     art = supervised.run(results, scfg, closed_loop_eval=False)
     print(f"supervised clone: test MAE {art.test_metrics['MAE']:.4f} (scaled)")
 
-    # 3. Deploy natively (C++ executor) if a toolchain is available.
+    # 3. Long horizons ride the Riccati (iLQR) backend automatically, and
+    #    per-iteration solver traces feed the diagnostics dashboards.
+    ctrl25 = cl.MPCController(
+        sqp.MPCConfig(horizon=25, variant="smooth", record_trace=True),
+        backend="auto")  # auto -> "ilqr" for N > 12
+    lc = cl.LoopConfig(t_steps=20, variant="smooth")
+    _, t25 = jax.jit(lambda x, r, k: cl.run_batch(lc, ctrl25, x, r, k))(
+        x0[:2], refs[:2, :20], jax.random.PRNGKey(0))
+    print(f"N=25 via {ctrl25.backend}: trace shape {t25.diag.trace.shape} "
+          f"(steps x iterations x stats)")
+
+    # 4. DAgger: improve the clone by relabeling its own closed-loop
+    #    states with the batched MPC teacher (seconds per round here;
+    #    hours of serial IPOPT in the reference's stack).
+    from forging_control_tpu.nn import train as train_mod
+    d_refs = streams.sample_references(jax.random.PRNGKey(3), 4,
+                                       "supervised", 50, dtype=jnp.float32)
+    feats, labels = train_mod.dagger_rollout(
+        art.params, art.in_scaler, art.out_scaler,
+        sqp.MPCConfig(horizon=10, variant="smooth"), d_refs,
+        jax.random.PRNGKey(4))
+    print(f"DAgger labeling pass: {labels.size} teacher labels on the "
+          f"student's own states")
+
+    # 5. Deploy natively (C++ executor) if a toolchain is available.
     try:
         from forging_control_tpu import runtime
         ex = runtime.RealtimeExecutor()

@@ -106,9 +106,16 @@ def main():
                                   "skipped": True}), flush=True)
                 continue
             t0 = time.time()
+            # Dataset generation ALWAYS injects process noise: the
+            # reference's dataset files are the process-noise recordings
+            # (forging_mult_traj_process_noise_*.pkl) and both its noise
+            # and no-noise table rows train on them — enable_noise only
+            # gates the *evaluation* loops (Supervised Learning/
+            # Main.py:176-187 loads the same file for every config).
             gcfg = config.GenerateConfig(
                 n_traj=args.n_traj, t_traj=300, horizon=h,
-                variant_model="smooth", ref_variant="supervised", flags=flags,
+                variant_model="smooth", ref_variant="supervised",
+                flags=dataclasses.replace(flags, enable_noise=True),
                 solver_preset=args.preset)
             telem, results_h = generate_data.run(gcfg, seed=0)
             gen_s = time.time() - t0
