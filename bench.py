@@ -22,6 +22,12 @@ import os
 import sys
 import time
 
+# FCT_CPU=1 forces the CPU backend before jax initializes (see
+# .claude/skills/verify/SKILL.md gotchas); the driver runs this on TPU.
+if os.environ.get("FCT_CPU"):
+    os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+    os.environ["JAX_PLATFORMS"] = "cpu"
+
 
 def main():
     import jax
@@ -60,7 +66,6 @@ def main():
     run = jax.jit(lambda x, r, k: cl.run_batch(loop_cfg, ctrl, x, r, k))
 
     # Warmup / compile
-    compiled = run.lower(x0, refs, key).compile()
     _, telem = run(x0, refs, key)
     telem.u.block_until_ready()
     assert bool(np.isfinite(np.asarray(telem.u)).all()), "non-finite commands"
@@ -72,7 +77,6 @@ def main():
     # so %-of-peak is intrinsically small; solves/s vs the IPOPT baseline
     # is the governing metric.  Reported so the framework states its own
     # roofline position (docs/RESULTS.md).
-    del compiled
     flops_per_solve = None
     try:
         state0 = ctrl.init_carry_batch(B, dtype)

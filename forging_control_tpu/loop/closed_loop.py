@@ -359,9 +359,10 @@ def stepper_latency(loop_cfg: LoopConfig, controller, refs, *,
     genuinely sequential step — the honest per-step distribution the
     reference's ``do_mpc.tools.Timer`` records around ``make_step``
     (``Generate Data/Functions.py:335-337``), feeding
-    ``eval.metrics.latency_stats``.  Returns an array of length
-    ``len(refs)`` (the first, warmup step is excluded from the returned
-    times via a prepended warmup call)."""
+    ``eval.metrics.latency_stats``.  The first step serves as the
+    dispatch warmup and is excluded, so the returned array has length
+    ``len(refs) - 1`` and the simulated trajectory follows ``refs``
+    exactly once (no duplicated step)."""
     import time as _time
 
     import numpy as _np
@@ -369,15 +370,15 @@ def stepper_latency(loop_cfg: LoopConfig, controller, refs, *,
     step, carry = make_stepper(loop_cfg, controller, x0=x0, key=key,
                                dtype=dtype)
     refs = _np.asarray(refs).ravel()
-    carry, u = step(carry, jnp.asarray(refs[0], dtype))   # warmup
+    carry, u = step(carry, jnp.asarray(refs[0], dtype))   # warmup step
     u.block_until_ready()
-    times = _np.empty(len(refs))
-    for t in range(len(refs)):
+    times = _np.empty(len(refs) - 1)
+    for t in range(1, len(refs)):
         r = jnp.asarray(refs[t], dtype)
         t1 = _time.perf_counter()
         carry, u = step(carry, r)
         u.block_until_ready()
-        times[t] = _time.perf_counter() - t1
+        times[t - 1] = _time.perf_counter() - t1
     return times
 
 

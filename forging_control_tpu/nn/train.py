@@ -512,9 +512,7 @@ def dagger_rollout(params, in_scaler, u_scaler, mpc_cfg, refs, key, *,
         return cl.press.rhs(x, u, loop_cfg.params, loop_cfg.variant)
 
     def solve_b(x, r, up, st):
-        if backend == "ilqr":
-            return mod.solve_batch(mpc_cfg, x, r, up, st)
-        return sqp_mod.solve_batch(mpc_cfg, x, r, up, st)
+        return mod.solve_batch(mpc_cfg, x, r, up, st)
 
     split2 = jax.vmap(lambda k: jax.random.split(k, 2))
     normal5 = jax.vmap(lambda k: jax.random.normal(k, (5,), dtype))

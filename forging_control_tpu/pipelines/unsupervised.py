@@ -36,6 +36,27 @@ class UnsupervisedArtifacts:
     nn_telem: object = None
 
 
+def fit_controller_scalers(results: dict, scaler_kind: str = "maxabs"):
+    """Controller feature/command scalers exactly as :func:`prepare_data`
+    fits them: per-column maxabs on the train split, with the reference
+    signal scaled by the *y_dot* scaler (Unsupervised Learning/
+    Main.py:235-261).  Returns ``(in_sc, u_sc)``; shared by the pipeline
+    and the experiment scripts so the convention lives in one place."""
+    y_dot = results["y_dot"].ravel()
+    z = results["z"].ravel()
+    u = results["u"].ravel()[:, None]
+    tr, _, _ = datasets.split_603030(len(y_dot))
+    ydot_sc = scalers.fit(scaler_kind, y_dot[tr, None])
+    z_sc = scalers.fit(scaler_kind, z[tr, None])
+    u_sc = scalers.fit(scaler_kind, u[tr])
+    in_sc = scalers.Scaler(
+        shift=jnp.concatenate([ydot_sc.shift[:1], z_sc.shift[:1],
+                               ydot_sc.shift[:1]]),
+        scale=jnp.concatenate([ydot_sc.scale[:1], z_sc.scale[:1],
+                               ydot_sc.scale[:1]]))
+    return in_sc, u_sc
+
+
 def prepare_data(results: dict, state_scaler, cfg: UnsupervisedConfig,
                  scaler_kind: str = "maxabs"):
     """Controller features [y_dot, z, ref] (ref scaled with the *y_dot*
@@ -79,19 +100,26 @@ def prepare_data(results: dict, state_scaler, cfg: UnsupervisedConfig,
 
 
 def _full_density(results: dict, in_sc, u_sc):
-    """Full-density supervised pairs (state_t -> u_{t+1}) in scaled units —
-    the supervised pipeline's dataset shape, used as DAgger's round-0
-    imitation set (the every-Nth MPC-loss resampling starves it)."""
-    y_dot = results["y_dot"].ravel()
-    z = results["z"].ravel()
-    ref = results["ref"].ravel()
-    u = results["u"].ravel()[:, None]
-    tr, va, _ = datasets.split_603030(len(y_dot))
-    feats = np.stack([y_dot, z, ref], axis=1).astype(np.float32)
+    """Full-density deployment-aligned pairs in scaled units, used as
+    DAgger's round-0 imitation set (the every-Nth MPC-loss resampling
+    starves it).
+
+    Telemetry rows pair the POST-step state with the command that
+    produced it (x row t = x_meas after u_t), so the pair a deployed
+    policy actually faces — (pre-step state, current reference) ->
+    command — is (y_dot[t], z[t], ref[t+1]) -> u[t+1], built strictly
+    WITHIN each trajectory (no pair straddles a reset)."""
+    y_dot = np.asarray(results["y_dot"])
+    z = np.asarray(results["z"])
+    ref = np.asarray(results["ref"])
+    u = np.asarray(results["u"])
+    feats = np.stack([y_dot[:, :-1], z[:, :-1], ref[:, 1:]],
+                     axis=-1).reshape(-1, 3).astype(np.float32)
+    targ = u[:, 1:].reshape(-1, 1).astype(np.float32)
+    tr, va, _ = datasets.split_603030(len(feats))
     feats_s = np.asarray(in_sc.transform(jnp.asarray(feats)))
-    targ_s = np.asarray(u_sc.transform(jnp.asarray(u))).astype(np.float32)
-    return (feats_s[tr][:-1], targ_s[tr][1:],
-            feats_s[va][:-1], targ_s[va][1:])
+    targ_s = np.asarray(u_sc.transform(jnp.asarray(targ))).astype(np.float32)
+    return feats_s[tr], targ_s[tr], feats_s[va], targ_s[va]
 
 
 def make_closed_loop_val(in_sc, u_sc, *, n_traj: int = 8, t_traj: int = 300,

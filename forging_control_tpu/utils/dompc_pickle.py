@@ -113,11 +113,19 @@ def _dompc_class(name: str):
     module is registered in ``sys.modules`` only when do-mpc is absent
     (it never shadows a real install).
     """
+    import importlib.util
+
     try:
-        import do_mpc.data as dd  # noqa: F401 (optional dependency)
+        spec = importlib.util.find_spec("do_mpc")
+    except ValueError:
+        # Our own stand-in module is already registered (spec-less).
+        spec = None
+    if spec is not None:
+        # A real install exists: use it (and surface its own import
+        # errors, e.g. a broken casadi, rather than silently shadowing
+        # the package with stand-ins).
+        import do_mpc.data as dd
         return getattr(dd, name)
-    except Exception:
-        pass
     mod = sys.modules.get("do_mpc.data")
     if mod is None or not hasattr(mod, name):
         pkg = sys.modules.setdefault("do_mpc", types.ModuleType("do_mpc"))

@@ -52,34 +52,20 @@ def main():
 
     from forging_control_tpu.eval import metrics
     from forging_control_tpu.loop import closed_loop as cl
-    from forging_control_tpu.nn import datasets, fnn, scalers, train
-    from forging_control_tpu.pipelines import generate_data
+    from forging_control_tpu.nn import fnn, train
+    from forging_control_tpu.pipelines import generate_data, unsupervised
     from forging_control_tpu.pipelines.config import PROCESS_STD
     from forging_control_tpu.refgen import streams
     from forging_control_tpu.solver import feasibility
 
-    # Train the supervised FNN exactly like the pipeline (fused trainer).
+    # Train the supervised FNN exactly like the pipeline (fused trainer;
+    # scaler/pairing convention owned by pipelines/unsupervised.py).
     results = generate_data.load(args.data)
-    y_dot = results["y_dot"].ravel()
-    z = results["z"].ravel()
-    ref = results["ref"].ravel()
-    u = results["u"].ravel()[:, None]
-    tr, va, _ = datasets.split_603030(len(y_dot))
-    ydot_sc = scalers.fit("maxabs", y_dot[tr, None])
-    z_sc = scalers.fit("maxabs", z[tr, None])
-    u_sc = scalers.fit("maxabs", u[tr])
-    in_sc = scalers.Scaler(
-        shift=jnp.concatenate([ydot_sc.shift[:1], z_sc.shift[:1],
-                               ydot_sc.shift[:1]]),
-        scale=jnp.concatenate([ydot_sc.scale[:1], z_sc.scale[:1],
-                               ydot_sc.scale[:1]]))
-    feats = np.stack([y_dot, z, ref], axis=1).astype(np.float32)
-    feats_s = np.asarray(in_sc.transform(jnp.asarray(feats)))
-    targ_s = np.asarray(u_sc.transform(jnp.asarray(u))).astype(np.float32)
+    in_sc, u_sc = unsupervised.fit_controller_scalers(results)
+    xtr, utr, xva, uva = unsupervised._full_density(results, in_sc, u_sc)
     params, _ = fnn.init(jax.random.PRNGKey(0), dtype=jnp.float32)
-    params, _ = train.train_supervised(
-        params, feats_s[tr][:-1], targ_s[tr][1:], feats_s[va][:-1],
-        targ_s[va][1:], epochs=20, seed=0)
+    params, _ = train.train_supervised(params, xtr, utr, xva, uva,
+                                       epochs=20, seed=0)
 
     base = fnn.make_policy(params, in_sc, u_sc)
     fcfg = feasibility.FeasibilityConfig()

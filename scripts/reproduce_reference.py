@@ -71,6 +71,7 @@ def main():
     import dataclasses
 
     import jax
+    import numpy as np
     import jax.numpy as jnp
 
     from forging_control_tpu.nn import lstm, scalers
@@ -100,11 +101,19 @@ def main():
         for h in sorted(set(horizons) | {args.horizon}):
             h_path = generate_data.dataset_path(args.out, h)
             if args.skip_existing and os.path.exists(h_path):
-                if h == args.horizon:
-                    results = generate_data.load(h_path)
+                prior = generate_data.load(h_path)
+                # Guard against datasets left by the pre-protocol-fix
+                # runner (generated without process noise): the filename
+                # does not encode it, but the recorded draws do.
+                if float(np.abs(prior.get("w", np.zeros(1))).max()) > 0:
+                    if h == args.horizon:
+                        results = prior
+                    print(json.dumps({"stage": f"generate_N{h}",
+                                      "skipped": True}), flush=True)
+                    continue
                 print(json.dumps({"stage": f"generate_N{h}",
-                                  "skipped": True}), flush=True)
-                continue
+                                  "regenerating": "stored dataset has no "
+                                  "process noise"}), flush=True)
             t0 = time.time()
             # Dataset generation ALWAYS injects process noise: the
             # reference's dataset files are the process-noise recordings
