@@ -297,15 +297,20 @@ def run(results: dict, surrogate_params, state_scaler,
 
 def write_artifacts(art: UnsupervisedArtifacts, cfg: UnsupervisedConfig,
                     out_dir: str) -> None:
-    """Reference-format artifacts (Unsupervised Learning/Main.py:895-934)."""
+    """Reference-format artifacts (Unsupervised Learning/Main.py:895-934).
+
+    Tables go under ``<out>/Unsupervised/Tables/`` — the reference keeps
+    each experiment's tables in its own directory with identical
+    filenames (``Supervised Learning/Tables`` vs ``Unsupervised
+    Learning/Tables``); writing both into one Tables/ dir would clobber
+    the supervised rows."""
     from ..eval import report
     sfx = f"N_{cfg.horizon}" + ("_noise" if cfg.flags.enable_noise else "")
     sub = "Feasibility" if cfg.flags.enable_feasibility else "Normal"
+    base = f"{out_dir}/Unsupervised/Tables/{sub}"
     report.show_tabulate(art.test_metrics,
-                         f"{out_dir}/Tables/{sub}/test_results_{sfx}.csv",
-                         echo=False)
+                         f"{base}/test_results_{sfx}.csv", echo=False)
     report.show_tabulate(art.nn_metrics,
-                         f"{out_dir}/Tables/{sub}/NN_results_{sfx}.csv",
-                         echo=False)
+                         f"{base}/NN_results_{sfx}.csv", echo=False)
     report.dump_dataframe(f"{out_dir}/results/Unsupervised_dataframe.txt",
                           art.nn_telem)
