@@ -57,6 +57,10 @@ def main():
     ap.add_argument("--seeds", type=int, default=1,
                     help="training replicas per learned controller; best"
                          " selected by closed-loop validation MAE")
+    ap.add_argument("--unsup-seeds", type=int, default=None,
+                    help="override replica count for the unsupervised"
+                         " stage (its trainers cost minutes per replica"
+                         " vs seconds for the supervised ones)")
     ap.add_argument("--preset", default="default",
                     choices=["default", "fast", "ipopt_compat"],
                     help="MPC solver preset for teacher-data generation and"
@@ -227,7 +231,9 @@ def main():
         # reference's 20 under our init/seed (test MAE 0.044 -> 0.027).
         ucfg = config.UnsupervisedConfig(
             horizon=args.horizon, epochs=max(1, int(60 * args.epochs_scale)),
-            flags=flags, n_seeds=args.seeds, solver_preset=args.preset)
+            flags=flags, solver_preset=args.preset,
+            n_seeds=(args.unsup_seeds if args.unsup_seeds is not None
+                     else args.seeds))
         modes = {"surrogate": ["surrogate"], "plant": ["plant"],
                  "dagger": ["dagger"],
                  "both": ["surrogate", "plant"],
