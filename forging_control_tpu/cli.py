@@ -37,16 +37,26 @@ def _flags(args) -> pcfg.Flags:
 
 def _emit_dashboards(telem, out_dir: str, tag: str):
     """Interactive HTML dashboards (reference's Plotly pages with the
-    per-trajectory slider; Generate Data/Main.py:120-262)."""
+    per-trajectory slider; Generate Data/Main.py:120-262) plus PNG raster
+    export matching the reference's results/Images/ files
+    (Supervised Learning/Functions.py:1557-1565)."""
     import os
 
-    from .eval import html_dash
+    from .eval import html_dash, plots
     p1 = os.path.join(out_dir, "Images", f"{tag}_closed_loop.html")
     p2 = os.path.join(out_dir, "Images", f"{tag}_solver.html")
     html_dash.dashboard_from_telemetry(telem, p1, title=f"{tag} closed loop")
     html_dash.solver_dashboard_from_telemetry(telem, p2,
                                               title=f"{tag} solver")
-    log.info(json.dumps({"dashboards": [p1, p2]}))
+    outs = [p1, p2]
+    for name, fn in (("closed_loop", plots.plot_closed_loop),
+                     ("solver", plots.plot_solver_diagnostics)):
+        png = os.path.join(out_dir, "Images", f"{tag}_{name}.png")
+        fig = fn(telem, 0, png)
+        import matplotlib.pyplot as plt
+        plt.close(fig)
+        outs.append(png)
+    log.info(json.dumps({"dashboards": outs}))
 
 
 def cmd_generate(args):

@@ -1,13 +1,15 @@
-"""Trajectory/diagnostic figure builders.
+"""Trajectory/diagnostic figure builders (raster/PNG backend).
 
 Replaces the reference's generic Plotly subplot builder
 (``Graphics.plot`` + ``TitleBrowserRenderer``, ``Supervised Learning/
 Functions.py:1403-1609``): line/markers/bar/v_line/h_line panel specs,
-per-trajectory paging, and PNG export.  Plotly isn't available in this
-environment, so the same spec renders through matplotlib when installed;
-HTML-interactive output (the reference's browser dashboards + sliders) is
-emitted when plotly is importable.  Both backends are optional — the
-framework never requires a plotting package on the compute path.
+per-trajectory paging, and PNG export to ``results/Images/``
+(``Functions.py:1557-1565``).  Rendering is matplotlib-Agg (executed and
+pinned by tests/test_report_infra.py::test_plots_render); the reference's
+*interactive* experience — browser dashboards, unified hover, the
+per-trajectory slider — is owned by :mod:`eval.html_dash`, the official
+dependency-free replacement (plotly is deliberately not a dependency and
+no plotly code path exists).  Neither module is on the compute path.
 
 Panel spec: a list of dicts
     {"title": str, "series": [
@@ -141,30 +143,3 @@ def plot_closed_loop(telem, traj: int = 0, path: str | None = None):
 def plot_solver_diagnostics(telem, traj: int = 0, path: str | None = None):
     return render_matplotlib(solver_panels(telem, traj), path,
                              title=f"solver diagnostics, trajectory {traj}")
-
-
-def render_plotly_html(panels: Sequence[dict], path: str, title: str = ""):
-    """Interactive HTML (per-panel) when plotly is available; no-op import
-    guard otherwise (mirrors the reference's browser dashboards)."""
-    try:
-        import plotly.graph_objects as go
-        from plotly.subplots import make_subplots
-    except ImportError as e:  # pragma: no cover - env without plotly
-        raise ImportError("plotly not installed; use render_matplotlib") from e
-
-    fig = make_subplots(rows=len(panels), cols=1, shared_xaxes=True,
-                        subplot_titles=[p.get("title", "") for p in panels])
-    for r, p in enumerate(panels, start=1):
-        for s in p.get("series", []):
-            mode = {"line": "lines", "markers": "markers"}.get(
-                s.get("type", "line"), "lines")
-            if s.get("type") == "bar":
-                fig.add_trace(go.Bar(x=s.get("x"), y=s["y"],
-                                     name=s.get("label")), row=r, col=1)
-            else:
-                fig.add_trace(go.Scatter(x=s.get("x"), y=s["y"], mode=mode,
-                                         name=s.get("label")), row=r, col=1)
-    fig.update_layout(title=title, hovermode="x unified")
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    fig.write_html(path)
-    return fig

@@ -351,7 +351,7 @@ def make_stepper(loop_cfg: LoopConfig, controller, x0=None, key=None,
 
 
 def stepper_latency(loop_cfg: LoopConfig, controller, refs, *,
-                    dtype=jnp.float32, x0=None, key=None):
+                    dtype=jnp.float32, x0=None, key=None, device=None):
     """Per-step wall-clock latencies (seconds) of the single-stream stepper.
 
     Runs :func:`make_stepper` (one AOT-compiled control period, donated
@@ -362,24 +362,65 @@ def stepper_latency(loop_cfg: LoopConfig, controller, refs, *,
     ``eval.metrics.latency_stats``.  The first step serves as the
     dispatch warmup and is excluded, so the returned array has length
     ``len(refs) - 1`` and the simulated trajectory follows ``refs``
-    exactly once (no duplicated step)."""
+    exactly once (no duplicated step).
+
+    ``device`` pins the whole stepper (compile + execution + inputs) to a
+    specific jax device — used by :func:`controller_latency_metrics` to
+    measure local-dispatch CPU latency when the default device is a
+    remote-attached TPU whose per-step time is tunnel transport, not
+    controller compute."""
+    import contextlib
     import time as _time
 
     import numpy as _np
 
-    step, carry = make_stepper(loop_cfg, controller, x0=x0, key=key,
-                               dtype=dtype)
-    refs = _np.asarray(refs).ravel()
-    carry, u = step(carry, jnp.asarray(refs[0], dtype))   # warmup step
-    u.block_until_ready()
-    times = _np.empty(len(refs) - 1)
-    for t in range(1, len(refs)):
-        r = jnp.asarray(refs[t], dtype)
-        t1 = _time.perf_counter()
-        carry, u = step(carry, r)
+    cm = (jax.default_device(device) if device is not None
+          else contextlib.nullcontext())
+    with cm:
+        step, carry = make_stepper(loop_cfg, controller, x0=x0, key=key,
+                                   dtype=dtype)
+        refs = _np.asarray(refs).ravel()
+        carry, u = step(carry, jnp.asarray(refs[0], dtype))   # warmup step
         u.block_until_ready()
-        times[t - 1] = _time.perf_counter() - t1
+        times = _np.empty(len(refs) - 1)
+        for t in range(1, len(refs)):
+            r = jnp.asarray(refs[t], dtype)
+            t1 = _time.perf_counter()
+            carry, u = step(carry, r)
+            u.block_until_ready()
+            times[t - 1] = _time.perf_counter() - t1
     return times
+
+
+def controller_latency_metrics(loop_cfg: LoopConfig, controller, refs, *,
+                               dtype=jnp.float32):
+    """Reference-semantics latency columns, measured on the CONTROLLER.
+
+    The reference's Mean/Std/Median/25_perc/75_perc columns time
+    ``make_step`` on the deployment CPU (``do_mpc.tools.Timer``,
+    ``Generate Data/Functions.py:335-337``).  On this box the default
+    jax device can be a remote-attached TPU whose per-step stepper time
+    (~25 ms) is tunnel dispatch, not controller compute — writing that
+    into the reference-format columns would invert their meaning
+    (round-3 verdict item 4).  So:
+
+    * Mean/Std/Median/25_perc/75_perc come from the single-stream
+      stepper pinned to the **local CPU device** — genuinely sequential
+      per-step wall clock of the same compiled controller+plant program,
+      directly comparable with the reference's workstation-CPU rows;
+    * when the default backend is not CPU, the default-device stepper's
+      mean is additionally reported as ``Tunnel_time`` so the transport
+      cost stays visible under its real name.
+    """
+    from ..eval import metrics as _metrics
+
+    cpu = jax.local_devices(backend="cpu")[0]
+    out = _metrics.latency_stats(
+        stepper_latency(loop_cfg, controller, refs, dtype=dtype, device=cpu))
+    if jax.default_backend() != "cpu":
+        t_dev = stepper_latency(loop_cfg, controller, refs, dtype=dtype)
+        out["Tunnel_time"] = float(t_dev.mean() * 1e3)
+    return out
 
 
 def default_x0(dtype=jnp.float64):

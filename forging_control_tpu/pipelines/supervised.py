@@ -157,10 +157,12 @@ def run(results: dict, cfg: SupervisedConfig = SupervisedConfig(), *,
         m["Command"] = float(np.abs(np.asarray(telem.u)).mean())
         if cfg.latency_profile and ctrl is not None:
             # Honest sequential per-step distribution (reference Timer
-            # semantics) via the single-stream stepper; the batched
-            # engine's amortized per-solve time is its own column.
-            m.update(metrics.latency_stats(
-                cl.stepper_latency(loop_cfg, ctrl, refs[0], dtype=dtype)))
+            # semantics): local-CPU stepper for the reference-format
+            # columns, remote-dispatch mean as Tunnel_time (see
+            # cl.controller_latency_metrics); the batched engine's
+            # amortized per-solve time is its own column.
+            m.update(cl.controller_latency_metrics(
+                loop_cfg, ctrl, refs[0], dtype=dtype))
         else:
             m["Mean_time"] = per_step_ms
             m["Median_time"] = per_step_ms
@@ -177,6 +179,18 @@ def run(results: dict, cfg: SupervisedConfig = SupervisedConfig(), *,
     if out_dir:
         sfx = f"N_{cfg.horizon}" + ("_process_noise" if cfg.flags.enable_noise else "")
         sub = "Feasibility" if cfg.flags.enable_feasibility else "Normal"
+        # Controller weights + scalers, the analogue of the reference's
+        # torch.save(state_dict -> results/NN_controller_N_10_{sim}.pt)
+        # (Supervised Learning/Main.py:280): lets scripts (wide-panel
+        # eval, reference_weights_eval-style cross checks) reload the
+        # shipped controller without retraining.
+        from ..utils import checkpoint
+        checkpoint.save(
+            f"{out_dir}/results/NN_controller_{sfx}.npz",
+            {"params": params,
+             "in_scaler": (in_sc.shift, in_sc.scale),
+             "out_scaler": (out_sc.shift, out_sc.scale)},
+            meta={"width_dim": cfg.width_dim, "pipeline": "supervised"})
         report.show_tabulate(art.test_metrics,
                              f"{out_dir}/Tables/{sub}/test_results_{sfx}.csv",
                              echo=False)

@@ -275,8 +275,10 @@ def run(results: dict, surrogate_params, state_scaler,
         jnp.asarray(ref), jnp.asarray(y_dot)).items()}
     nn_metrics["Command"] = float(np.abs(np.asarray(telem.u)).mean())
     if cfg.latency_profile:
-        nn_metrics.update(metrics.latency_stats(
-            cl.stepper_latency(loop_cfg, ctrl, refs[0], dtype=dtype)))
+        # Local-CPU stepper for the reference-format latency columns;
+        # remote-dispatch mean as Tunnel_time (round-3 verdict item 4).
+        nn_metrics.update(cl.controller_latency_metrics(
+            loop_cfg, ctrl, refs[0], dtype=dtype))
     else:
         nn_metrics["Mean_time"] = per_step_ms
     nn_metrics["Amortized_time"] = per_step_ms
@@ -314,3 +316,14 @@ def write_artifacts(art: UnsupervisedArtifacts, cfg: UnsupervisedConfig,
                          f"{base}/NN_results_{sfx}.csv", echo=False)
     report.dump_dataframe(f"{out_dir}/results/Unsupervised_dataframe.txt",
                           art.nn_telem)
+    # Shipped-controller checkpoint, mirroring the reference's
+    # torch.save -> results/NN_controller_N_10_{sim}.pt
+    # (Unsupervised Learning/Main.py); reloadable by the wide-panel
+    # evaluation script without retraining.
+    from ..utils import checkpoint
+    checkpoint.save(
+        f"{out_dir}/results/NN_controller_unsupervised_{sfx}.npz",
+        {"params": art.params,
+         "in_scaler": (art.in_scaler.shift, art.in_scaler.scale),
+         "out_scaler": (art.out_scaler.shift, art.out_scaler.scale)},
+        meta={"train_mode": cfg.train_mode, "pipeline": "unsupervised"})

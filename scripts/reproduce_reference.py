@@ -30,7 +30,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-ALL_STAGES = ("generate", "supervised", "surrogate", "unsupervised")
+ALL_STAGES = ("generate", "supervised", "surrogate", "unsupervised",
+              "framework_best")
 
 
 def main():
@@ -271,6 +272,69 @@ def main():
         print(json.dumps({"stage": "unsupervised", "train_mode": best_mode,
                           **summary[f"unsupervised_{best_mode}"]}),
               flush=True)
+
+    # 5. framework-best companion rows ------------------------------------
+    # Round-3 verdict item 2: the default (feasible-teacher) chain's table
+    # must never show an avoidable loss — wherever the protocol-pinned row
+    # trails the reference, ship an adjacent clearly-labeled entry with the
+    # framework's best number for that slot.
+    if "framework_best" in stages:
+        from forging_control_tpu.eval import metrics
+        from forging_control_tpu.loop import closed_loop as cl
+        from forging_control_tpu.refgen import streams
+        from forging_control_tpu.solver import sqp
+
+        fb = {}
+        # (a) learned-controller slot.  The supervised and unsupervised
+        # eval protocols are identical (same reference-stream variant
+        # table, same noise key), so the chain's best learned controller
+        # covers BOTH learned rows; cross-list it against the supervised
+        # row when it does better.
+        sup_mae = summary.get("supervised", {}).get("nn", {}).get("MAE")
+        uns = summary.get("unsupervised", {})
+        uns_mae = uns.get("nn", {}).get("MAE")
+        if sup_mae is not None and uns_mae is not None and uns_mae < sup_mae:
+            fb["supervised_nn"] = {
+                "MAE": uns_mae,
+                "source": ("shipped unsupervised controller (train_mode="
+                           f"{uns.get('train_mode', '?')}) — identical eval"
+                           " protocol; see docs/RESULTS.md round-4"),
+            }
+        # (b) MPC slot.  The ipopt_compat preset reproduces the recorded
+        # IPOPT's transient behavior (command parity median ~2e-6,
+        # docs/PARITY.md) — it IS the reference controller, run by this
+        # framework.  Evaluate it on the exact supervised-stage protocol
+        # (2 CPython streams, eval key seed+1) for a like-for-like entry
+        # next to the chain's feasible-preset MPC row.
+        if args.preset != "ipopt_compat":
+            dtype = jnp.float32
+            t_traj, n_eval = 300, 2
+            loop_cfg = cl.LoopConfig(
+                t_steps=t_traj, variant="smooth",
+                process_std=(config.PROCESS_STD if args.noise
+                             else (0.0,) * 5))
+            ctrl = cl.MPCController(sqp.MPCConfig.ipopt_compat(
+                horizon=args.horizon, variant="smooth", gn_iters=6,
+                al_iters=2))
+            refs = jnp.asarray(streams.reference_table(
+                n_eval, "supervised", t_traj), dtype)
+            x0 = jnp.tile(jnp.asarray(cl.press.X0_REFERENCE, dtype),
+                          (n_eval, 1))
+            _, telem = jax.jit(lambda x, r, k: cl.run_batch(
+                loop_cfg, ctrl, x, r, k))(x0, refs, jax.random.PRNGKey(1))
+            m = {k: float(v) for k, v in metrics.tracking_metrics(
+                jnp.asarray(np.asarray(telem.ref).ravel()),
+                jnp.asarray(np.asarray(telem.x[..., 1]).ravel())).items()}
+            fb["mpc"] = {
+                **m,
+                "source": "ipopt_compat preset (recorded-IPOPT-equivalent"
+                          " solver; command parity docs/PARITY.md)",
+            }
+        if fb:
+            summary["framework_best"] = fb
+            save_json("summary.json", summary)
+            print(json.dumps({"stage": "framework_best", **fb},
+                             default=float), flush=True)
 
     print(json.dumps({"stage": "done", "out": args.out}), flush=True)
 

@@ -1,0 +1,251 @@
+"""Wide-panel CI evaluation of every headline controller (round-4 item 1).
+
+Rolls each headline controller — the chains' shipped supervised /
+unsupervised FNNs, the MPC solver in its default (feasible) and
+ipopt_compat presets, and the REFERENCE'S OWN shipped torch weights —
+over the same wide panel (fresh plateau streams x independent noise
+realizations, one fused batched program per controller) and reports
+mean +- 95% CI per controller plus *paired* comparisons (identical
+streams AND identical noise draws across controllers; see
+eval/wide_panel.py).
+
+This is the statistical footing the round-3 verdict asked for: the
+recorded reference numbers are single draws on a 2-stream panel whose
+per-realization spread (~+-0.0005 MAE) exceeds several former headline
+margins.  Apples-to-apples comparisons here are the paired ones
+(our weights vs their weights, same panel); verdicts against recorded
+scalars additionally require the margin to clear the panel CI.
+
+Usage:
+  python scripts/wide_panel.py [--streams 64] [--reps 4]
+      [--out docs/artifacts/wide_panel.json]
+
+Runs on the default device (TPU if attached; FCT_CPU=1 forces CPU).
+Reference protocol for the recorded scalars:
+/root/reference/Supervised Learning/Main.py:610-646 and
+Tables/Normal/{MPC,NN}_results_N_10*.csv.
+"""
+
+import argparse
+import functools
+import json
+import os
+import sys
+
+if os.environ.get("FCT_CPU"):
+    os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+    os.environ["JAX_PLATFORMS"] = "cpu"
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REF = "/root/reference"
+
+# Recorded reference table rows (BASELINE.md).
+RECORDED = {
+    True: {"mpc": 0.050955, "supervised": 0.058627, "unsupervised": 0.055926},
+    False: {"mpc": 0.045209, "supervised": 0.053904, "unsupervised": 0.070924},
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--streams", type=int, default=64)
+    ap.add_argument("--reps", type=int, default=4)
+    ap.add_argument("--t-traj", type=int, default=300)
+    ap.add_argument("--out", default="docs/artifacts/wide_panel.json")
+    ap.add_argument("--skip-mpc", action="store_true",
+                    help="NN-only rerun (MPC panels are the slow part)")
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_fct")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from forging_control_tpu.eval import wide_panel as wp
+    from forging_control_tpu.loop import closed_loop as cl
+    from forging_control_tpu.nn import fnn, scalers
+    from forging_control_tpu.solver import sqp
+    from forging_control_tpu.utils import checkpoint
+
+    dtype = jnp.float32
+
+    def spec_for(noise: bool) -> wp.PanelSpec:
+        # No-noise rollouts are deterministic -> replications collapse to
+        # stream variation only.
+        return wp.PanelSpec(
+            n_streams=args.streams,
+            n_noise_reps=args.reps if noise else 1,
+            t_traj=args.t_traj,
+            ref_variant="supervised",   # == unsupervised variant table
+            process_std=wp.PROCESS_STD if noise else (0.0,) * 5)
+
+    # ---- shared jitted NN panel runner (params as traced args, so the
+    # 20+ reference sims reuse ONE compiled program per panel shape) ----
+    @functools.lru_cache(maxsize=None)
+    def nn_runner(noise: bool):
+        spec = spec_for(noise)
+        loop_cfg = cl.LoopConfig(t_steps=spec.t_traj, variant=spec.variant,
+                                 process_std=spec.process_std)
+
+        @jax.jit
+        def run(params, in_shift, in_scale, out_shift, out_scale,
+                x0, refs, key):
+            pol = fnn.make_policy(
+                params, scalers.Scaler(in_shift, in_scale),
+                scalers.Scaler(out_shift, out_scale))
+            return cl.run_batch(loop_cfg, cl.FunctionController(pol),
+                                x0, refs, key)
+
+        return run
+
+    def eval_nn(noise, params, in_sc, out_sc):
+        run = nn_runner(noise)
+        p32 = jax.tree.map(lambda a: jnp.asarray(a, dtype), params)
+        return wp.run_controller(
+            spec_for(noise), None, dtype=dtype,
+            run_fn=lambda x, r, k: run(
+                p32, jnp.asarray(in_sc.shift, dtype),
+                jnp.asarray(in_sc.scale, dtype),
+                jnp.asarray(out_sc.shift, dtype),
+                jnp.asarray(out_sc.scale, dtype), x, r, k))
+
+    def eval_mpc(noise, preset):
+        make = {"default": sqp.MPCConfig,
+                "ipopt_compat": sqp.MPCConfig.ipopt_compat}[preset]
+        ctrl = cl.MPCController(
+            make(horizon=10, variant="smooth", gn_iters=6, al_iters=2))
+        return wp.run_controller(spec_for(noise), ctrl, dtype=dtype)
+
+    # ---- controller loading ----
+    def load_ours(path):
+        like = {"params": fnn.init(jax.random.PRNGKey(0))[0],
+                "in_scaler": (jnp.zeros(3), jnp.ones(3)),
+                "out_scaler": (jnp.zeros(1), jnp.ones(1))}
+        d = checkpoint.load(path, like)
+        return (d["params"], scalers.Scaler(*d["in_scaler"]),
+                scalers.Scaler(*d["out_scaler"]))
+
+    def ref_scalers():
+        import pickle
+        with open(f"{REF}/Supervised Learning/results/scaler_input.pkl",
+                  "rb") as f:
+            in_scale = np.asarray(pickle.load(f).max_abs_, float)
+        with open(f"{REF}/Supervised Learning/results/scaler_output.pkl",
+                  "rb") as f:
+            out_scale = np.asarray(pickle.load(f).max_abs_, float)
+        sup_in = scalers.Scaler(jnp.zeros(3), jnp.asarray(in_scale))
+        uns_in = scalers.Scaler(jnp.zeros(3), jnp.asarray(
+            [in_scale[0], in_scale[1], in_scale[0]]))
+        out_sc = scalers.Scaler(jnp.zeros(1), jnp.asarray(out_scale))
+        return sup_in, uns_in, out_sc
+
+    def ref_weight_paths(which, noise):
+        d = (f"{REF}/Supervised Learning/results" if which == "supervised"
+             else f"{REF}/Unsupervised Learning/results")
+        out = []
+        for sim in range(10):
+            cands = ([f"NN_controller_process_noise_N_10_{sim}.pt",
+                      f"NN_controller_N_10_{sim}_noise.pt"] if noise
+                     else [f"NN_controller_N_10_{sim}.pt"])
+            p = next((os.path.join(d, c) for c in cands
+                      if os.path.exists(os.path.join(d, c))), None)
+            if p:
+                out.append((sim, p))
+        return out
+
+    from forging_control_tpu.nn import torch_compat
+
+    sup_in, uns_in, ref_out = ref_scalers()
+    results = {"spec": {"n_streams": args.streams, "n_noise_reps": args.reps,
+                        "t_traj": args.t_traj,
+                        "ref_variant": "supervised(==unsupervised)"},
+               "panels": {}}
+    panels = {}   # name -> PanelResult, for paired comparisons
+
+    def record(noise, name, res):
+        panels[(noise, name)] = res
+        key = "noise" if noise else "no_noise"
+        results["panels"].setdefault(key, {})[name] = res.summarize()
+        print(json.dumps({"panel": key, "controller": name,
+                          **res.summarize()}), flush=True)
+
+    for noise in (True, False):
+        # reference shipped weights (all sims; best-of-sims is the
+        # conservative comparison target)
+        for which, in_sc in (("supervised", sup_in), ("unsupervised", uns_in)):
+            for sim, path in ref_weight_paths(which, noise):
+                params = torch_compat.fnn_from_torch(path, dtype=dtype)
+                record(noise, f"ref_{which}_sim{sim}",
+                       eval_nn(noise, params, in_sc, ref_out))
+        # our shipped chain controllers
+        chain = {True: [("results_repro", "default"),
+                        ("results_repro_compat", "compat")],
+                 False: [("results_repro_nonoise", "nonoise")]}[noise]
+        sfx_noise = "_process_noise" if noise else ""
+        for out_dir, label in chain:
+            sup_p = f"{out_dir}/results/NN_controller_N_10{sfx_noise}.npz"
+            # unsupervised chains always ran with noise flags matching
+            # the chain; nonoise chain's unsup sfx has no _noise
+            uns_sfx = "_noise" if noise else ""
+            uns_p = (f"{out_dir}/results/NN_controller_unsupervised_"
+                     f"N_10{uns_sfx}.npz")
+            for name, path in ((f"ours_supervised_{label}", sup_p),
+                               (f"ours_unsupervised_{label}", uns_p)):
+                if os.path.exists(path):
+                    record(noise, name, eval_nn(noise, *load_ours(path)))
+                else:
+                    print(json.dumps({"skip": name, "missing": path}),
+                          flush=True)
+        # MPC presets
+        if not args.skip_mpc:
+            for preset in ("ipopt_compat", "default"):
+                record(noise, f"mpc_{preset}", eval_mpc(noise, preset))
+
+    # ---- paired comparisons + verdicts ----
+    comps = {}
+    for noise in (True, False):
+        key = "noise" if noise else "no_noise"
+        have = {n for (nz, n) in panels if nz == noise}
+
+        def best_ref(which):
+            sims = [n for n in have if n.startswith(f"ref_{which}_sim")]
+            return (min(sims, key=lambda n: panels[(noise, n)].mae.mean())
+                    if sims else None)
+
+        pairs = []
+        for which in ("supervised", "unsupervised"):
+            rb = best_ref(which)
+            for n in sorted(have):
+                if n.startswith(f"ours_{which}") and rb:
+                    pairs.append((n, rb))
+        if "mpc_default" in have and "mpc_ipopt_compat" in have:
+            pairs.append(("mpc_default", "mpc_ipopt_compat"))
+        for a, b in pairs:
+            c = wp.compare(panels[(noise, a)], panels[(noise, b)])
+            comps.setdefault(key, {})[f"{a}_VS_{b}"] = c
+            print(json.dumps({"paired": f"{a} vs {b}", "panel": key, **c}),
+                  flush=True)
+        # verdicts vs recorded scalars (panel-CI bar; see
+        # wide_panel.verdict_vs_scalar docstring for the caveat)
+        for n in sorted(have):
+            slot = ("mpc" if n.startswith("mpc") else
+                    "supervised" if "supervised" in n else "unsupervised")
+            v = wp.verdict_vs_scalar(panels[(noise, n)], RECORDED[noise][slot])
+            comps.setdefault(key, {}).setdefault("vs_recorded", {})[n] = {
+                "recorded": v["recorded"], "margin": v["margin"],
+                "ci95": v["ci95"], "verdict": v["verdict"]}
+    results["comparisons"] = comps
+
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=2)
+    print(json.dumps({"done": args.out}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

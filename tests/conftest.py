@@ -100,6 +100,7 @@ SLOW_TESTS = {
     "test_riccati_trace_flows_through_closed_loop",
     "test_dagger_trainer_runs_and_labels",
     "test_supervised_pipeline_feasibility_variant",
+    "test_virtual_mesh_scaling_efficiency",
 }
 
 

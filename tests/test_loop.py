@@ -183,3 +183,17 @@ def test_single_stream_stepper():
         us.append(float(u))
     np.testing.assert_allclose(np.array(us), np.array(telem.u), rtol=1e-12,
                                atol=1e-12)
+
+
+def test_controller_latency_metrics_cpu_columns():
+    """Reference-format latency columns come from the local-CPU stepper
+    (controller compute, not transport); on a CPU-only default backend
+    there is no Tunnel_time column (round-3 verdict item 4)."""
+    loop_cfg = cl.LoopConfig(t_steps=6, variant="smooth")
+    ctrl = cl.FunctionController(
+        lambda x, ref, u_prev: jnp.clip(0.05 * (ref - x[1]), -0.2, 0.2))
+    refs = jnp.full((6,), 0.3, jnp.float32)
+    m = cl.controller_latency_metrics(loop_cfg, ctrl, refs)
+    for k in ("Mean_time", "Std_time", "Median_time", "25_perc", "75_perc"):
+        assert k in m and np.isfinite(m[k]) and m[k] >= 0
+    assert "Tunnel_time" not in m  # tests pin the default backend to CPU

@@ -107,3 +107,43 @@ def test_mesh_sharded_training_matches_unsharded():
                                    rtol=1e-8, atol=1e-10)
     np.testing.assert_allclose(rep_dp.val_losses, rep_ref.val_losses,
                                rtol=1e-8)
+
+
+def test_virtual_mesh_scaling_efficiency(mesh8):
+    """Scenario-parallel sharding adds <10% overhead at 8 virtual devices.
+
+    On a shared host CPU pool the total compute is fixed, so strong-form
+    time at constant total batch isolates SPMD partitioning/collective
+    overhead — the scenario axis has zero per-step communication, so
+    8-device time must stay within 1/0.9 of 1-device time (round-3
+    verdict item 7; the full curve artifact is
+    docs/artifacts/scaling_virtual.json via scripts/scaling_virtual.py).
+    """
+    import time
+
+    loop_cfg = cl.LoopConfig(t_steps=12, variant="smooth",
+                             process_std=(5e-1, 2e0, 5e7, 5e7, 2e0))
+    ctrl = cl.MPCController(sqp.MPCConfig(horizon=5, variant="smooth",
+                                          gn_iters=3, al_iters=1))
+    B = 32
+    refs = jnp.asarray(streams.sample_references(
+        jax.random.PRNGKey(3), B, "supervised", 12), jnp.float64)
+    x0 = jnp.tile(jnp.asarray(cl.press.X0_REFERENCE, jnp.float64), (B, 1))
+    key = jax.random.PRNGKey(0)
+
+    def best_time(n_dev, reps=3):
+        mesh = pmesh.make_mesh(n_dev)
+        run = pmesh.sharded_closed_loop(loop_cfg, ctrl, mesh)
+        xs, rs = pmesh.shard_scenarios(mesh, (x0, refs))
+        _, telem = run(xs, rs, key)
+        telem.u.block_until_ready()
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            _, telem = run(xs, rs, key)
+            telem.u.block_until_ready()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t1, t8 = best_time(1), best_time(8)
+    assert t1 / t8 >= 0.9, f"8-device sharding overhead too high: {t1/t8:.3f}"
