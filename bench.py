@@ -77,16 +77,24 @@ def main():
     # so %-of-peak is intrinsically small; solves/s vs the IPOPT baseline
     # is the governing metric.  Reported so the framework states its own
     # roofline position (docs/RESULTS.md).
-    flops_per_solve = None
-    try:
-        state0 = ctrl.init_carry_batch(B, dtype)
-        solve_prog = jax.jit(lambda s, x, r, u: ctrl.step_batch(s, x, r, u))
-        ca = solve_prog.lower(state0, x0, refs[:, 0],
-                              jnp.zeros((B,), dtype)).compile(
-                              ).cost_analysis()
+    def analyze(c):
+        state0 = c.init_carry_batch(B, dtype)
+        prog = jax.jit(lambda s, x, r, u: c.step_batch(s, x, r, u))
+        ca = prog.lower(state0, x0, refs[:, 0],
+                        jnp.zeros((B,), dtype)).compile().cost_analysis()
         ca = ca[0] if isinstance(ca, list) else ca
-        if ca and "flops" in ca:
-            flops_per_solve = float(ca["flops"]) / B
+        return float(ca["flops"]) / B if ca and "flops" in ca else None
+
+    flops_per_solve = flops_exact = None
+    try:
+        flops_per_solve = analyze(ctrl)
+        # Exact executed count: same program with the AL x GN iteration
+        # scans unrolled (identical numerics; MPCConfig.iter_unroll), so
+        # XLA's cost model sees every iteration body instead of one.
+        import dataclasses as _dc
+        ctrl_u = cl.MPCController(
+            _dc.replace(ctrl.cfg, iter_unroll=True), backend=backend)
+        flops_exact = analyze(ctrl_u)
     except Exception:
         pass
     peak = float(os.environ.get("BENCH_PEAK_FLOPS", 1.97e14))  # v5e bf16
@@ -109,13 +117,19 @@ def main():
         "vs_baseline": round(solves_per_s / baseline, 2),
     }
     if flops_per_solve:
-        # XLA's model counts each lax.scan body once, so these are lower
-        # bounds (the AL x GN iteration scans multiply real work ~10x).
-        # Either way the conclusion is the same: this is tiny-tensor VPU
-        # work at <0.1% MFU by construction; solves/s is the metric.
+        # lb: XLA's model counts each lax.scan body once (iteration scans
+        # undercounted ~al*gn-fold).  The exact figures re-lower the same
+        # config with the iteration scans unrolled, so every executed body
+        # is counted — closing round 3's known undercount.  Either way the
+        # conclusion stands: tiny-tensor VPU work at <0.1% MFU by
+        # construction; solves/s vs the IPOPT baseline is the metric.
         rec["flops_per_solve_lb"] = round(flops_per_solve, 1)
         rec["flops_per_s_lb"] = round(flops_per_solve * solves_per_s, 1)
         rec["mfu_pct_lb"] = round(100.0 * rec["flops_per_s_lb"] / peak, 4)
+    if flops_exact:
+        rec["flops_per_solve"] = round(flops_exact, 1)
+        rec["flops_per_s"] = round(flops_exact * solves_per_s, 1)
+        rec["mfu_pct"] = round(100.0 * rec["flops_per_s"] / peak, 4)
     print(json.dumps(rec))
 
 

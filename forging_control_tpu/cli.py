@@ -18,7 +18,23 @@ import argparse
 import dataclasses
 import glob
 import json
+import os
 import sys
+
+# FCT_CPU=1 forces the CPU backend before jax initializes a device.  The
+# JAX_PLATFORMS env var alone is NOT reliable here: the axon sitecustomize
+# configures jax at interpreter start (see .claude/skills/verify/SKILL.md
+# gotchas), so a CLI run meant for CPU can silently land on — and contend
+# for — the single attached TPU chip.
+if os.environ.get("FCT_CPU"):
+    os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    try:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    except ImportError:  # pragma: no cover
+        pass
 
 from .pipelines import config as pcfg
 from .utils.logging import get_logger

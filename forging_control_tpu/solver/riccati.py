@@ -309,7 +309,8 @@ def solve_batch(cfg: MPCConfig, x0, ref, u_prev, state: ILQRState):
         return (v_n, zs_n, zN_n, lam, mu, it_n, d_n, qmax, a_n), ys
 
     def al_round(carry, _):
-        carry, tr = jax.lax.scan(gn_iter, carry, None, length=cfg.gn_iters)
+        carry, tr = jax.lax.scan(gn_iter, carry, None, length=cfg.gn_iters,
+                                 unroll=cfg.gn_iters if cfg.iter_unroll else 1)
         v, zs, zN, lam, mu, it_used, d_norm, inf_du, alpha_l = carry
         # Constraints at the arrival states x_1..x_N.
         arr = jnp.concatenate([zs[:, 1:, :5], zN[:, None, :5]], axis=1)
@@ -323,7 +324,8 @@ def solve_batch(cfg: MPCConfig, x0, ref, u_prev, state: ILQRState):
             jnp.zeros((B,), jnp.int32), jnp.zeros((B,), dtype),
             jnp.zeros((B,), dtype), jnp.zeros((B,), dtype))
     (v, zs, zN, lam, mu, iters, d_norm, inf_du, alpha), traces = jax.lax.scan(
-        al_round, init, None, length=cfg.al_iters)
+        al_round, init, None, length=cfg.al_iters,
+        unroll=cfg.al_iters if cfg.iter_unroll else 1)
 
     if cfg.polish_iters > 0:
         # Active-set Newton polish (sqp.polish): same NLP, same decision

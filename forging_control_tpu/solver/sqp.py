@@ -108,6 +108,13 @@ class MPCConfig:
     # time, and on CPU (the f64 validation/test path) compile time dominates
     # any dispatch savings.
     scan_unroll: int | bool | None = None
+    # Unroll the AL x GN *iteration* scans (identical numerics — lax.scan
+    # unrolling is a scheduling choice).  Purpose: XLA's static cost model
+    # counts a scan body ONCE regardless of trip count, so FLOP counts of
+    # the rolled program are ~al_iters*gn_iters-fold lower bounds; lowering
+    # the same config with iter_unroll=True yields the exact executed FLOP
+    # count (bench.py's flops_per_solve vs flops_per_solve_lb).
+    iter_unroll: bool = False
 
     @property
     def n_con(self) -> int:
@@ -336,7 +343,8 @@ def polish(cfg: MPCConfig, x0, ref, u_prev_s, v, lam):
             c_lin < -cfg.polish_act_tol).astype(dtype)
         return (v_new, m_new), None
 
-    (v_p, _), _ = jax.lax.scan(body, (v, m), None, length=cfg.polish_iters)
+    (v_p, _), _ = jax.lax.scan(body, (v, m), None, length=cfg.polish_iters,
+                               unroll=cfg.polish_iters if cfg.iter_unroll else 1)
 
     r1, c1 = _obj_res_con(cfg, x0, ref, u_prev_s, v_p)
     obj1 = jnp.dot(r1, r1)
@@ -433,7 +441,8 @@ def solve(cfg: MPCConfig, x0, ref, u_prev, state: SolverState):
         return (v_new, lam, mu, it_new, reg, d_new, gnorm, a_new), ys
 
     def al_round(carry, _):
-        carry, tr = jax.lax.scan(gn_round, carry, None, length=cfg.gn_iters)
+        carry, tr = jax.lax.scan(gn_round, carry, None, length=cfg.gn_iters,
+                                 unroll=cfg.gn_iters if cfg.iter_unroll else 1)
         v, lam, mu, it_used, reg, d_norm, inf_du, alpha_last = carry
         _, c = res_fn(v, lam, mu)
         lam_new = jnp.maximum(lam - mu * c, 0.0)
@@ -446,7 +455,8 @@ def solve(cfg: MPCConfig, x0, ref, u_prev, state: SolverState):
             jnp.asarray(cfg.lm_reg, dtype), jnp.zeros((), dtype),
             jnp.zeros((), dtype), jnp.zeros((), dtype))
     (v, lam, mu, iters, reg, d_norm, inf_du, alpha), traces = jax.lax.scan(
-        al_round, init, None, length=cfg.al_iters)
+        al_round, init, None, length=cfg.al_iters,
+        unroll=cfg.al_iters if cfg.iter_unroll else 1)
 
     if cfg.polish_iters > 0:
         v = polish(cfg, x0, ref, u_prev_s, v, lam)
@@ -572,7 +582,8 @@ def solve_batch(cfg: MPCConfig, x0, ref, u_prev, state: SolverState, *,
         return (v_new, lam, mu, it_new, d_new, gnorm, a_new), ys
 
     def al_round(carry, _):
-        carry, tr = jax.lax.scan(gn_round, carry, None, length=cfg.gn_iters)
+        carry, tr = jax.lax.scan(gn_round, carry, None, length=cfg.gn_iters,
+                                 unroll=cfg.gn_iters if cfg.iter_unroll else 1)
         v, lam, mu, it_used, d_norm, inf_du, alpha_last = carry
         c = jax.vmap(lambda xs: _constraints(cfg, xs))(batched_rollout(x0, v))
         lam_new = jnp.maximum(lam - mu * c, 0.0)
@@ -583,7 +594,8 @@ def solve_batch(cfg: MPCConfig, x0, ref, u_prev, state: SolverState, *,
     init = (state.v, state.lam, jnp.asarray(cfg.mu0, dtype),
             jnp.zeros((B,), jnp.int32), zb, zb, zb)
     (v, lam, mu, iters, d_norm, inf_du, alpha), traces = jax.lax.scan(
-        al_round, init, None, length=cfg.al_iters)
+        al_round, init, None, length=cfg.al_iters,
+        unroll=cfg.al_iters if cfg.iter_unroll else 1)
 
     if cfg.polish_iters > 0:
         v = jax.vmap(lambda xi, ri, ui, vi, li: polish(

@@ -54,6 +54,9 @@ RECORDINGS = [
 ]
 
 N_FAIL, N_RAND = 25, 15
+# Round-4: adjudicate the DIVERGENT population per recording (verdict
+# item 3) — larger failing sample, with per-step who-is-closer counts.
+N_FAIL_ADJ = 60
 
 
 def scipy_solve(cfg, obj_g, con, con_j, x0, ref, up):
@@ -69,9 +72,19 @@ def scipy_solve(cfg, obj_g, con, con_j, x0, ref, up):
 
 
 def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--keys", default=None,
+                    help="comma-separated recording keys (default: all)")
+    ap.add_argument("--n-fail", type=int, default=N_FAIL_ADJ)
+    args = ap.parse_args()
+    keys = set(args.keys.split(",")) if args.keys else None
+
     out = json.load(open(OUT)) if os.path.exists(OUT) else {}
     rng = np.random.default_rng(0)
     for key, path, horizon, var in RECORDINGS:
+        if keys is not None and key not in keys:
+            continue
         rec = dompc_pickle.load(path)["simulator"]
         xn, un, tvpn = rec["_x"], rec["_u"][:, 0], rec["_tvp"][:, 0]
         Tn = xn.shape[0]
@@ -94,9 +107,10 @@ def main():
                             jnp.array(uprev)))
         rel_rec = np.abs(u0 - un) / np.maximum(np.abs(un), 1e-2)
         bad = np.where(rel_rec > 1e-3)[0]
-        sel_f = rng.choice(bad, min(N_FAIL, len(bad)), replace=False)
+        sel_f = rng.choice(bad, min(args.n_fail, len(bad)), replace=False)
         sel_r = rng.choice(Tn, N_RAND, replace=False)
         sel = np.unique(np.concatenate([sel_f, sel_r]))
+        fail_set = set(sel_f.tolist())
 
         obj_g = jax.jit(jax.value_and_grad(
             lambda v, x0, r, up: sqp._objective_only(cfg, x0, r,
@@ -105,15 +119,31 @@ def main():
             cfg, sqp._rollout(cfg, x0, v)))
         con_j = jax.jit(jax.jacfwd(con, argnums=0))
 
-        ours_err, rec_err = [], []
+        ours_err, rec_err, is_fail = [], [], []
         for i in sel:
             u_sp = scipy_solve(cfg, obj_g, con, con_j, jnp.array(states[i]),
                                float(tvpn[i]), float(uprev[i]))
             d = max(abs(u_sp), 1e-2)
             ours_err.append(abs(u0[i] - u_sp) / d)
             rec_err.append(abs(un[i] - u_sp) / d)
+            is_fail.append(i in fail_set)
         ours_err, rec_err = np.array(ours_err), np.array(rec_err)
+        is_fail = np.array(is_fail)
+        of, rf = ours_err[is_fail], rec_err[is_fail]
+        adjudication = {
+            "divergent_steps_total": int(len(bad)),
+            "divergent_frac_of_recording": float(len(bad) / Tn),
+            "divergent_sampled": int(is_fail.sum()),
+            "ours_closer_to_optimum_frac": float(np.mean(of < rf)),
+            "recording_closer_to_optimum_frac": float(np.mean(rf < of)),
+            "ours_median_rel_on_divergent": float(np.median(of)),
+            "recorded_median_rel_on_divergent": float(np.median(rf)),
+            "ours_frac_within_1e-3_on_divergent": float(np.mean(of < 1e-3)),
+            "recorded_frac_within_1e-3_on_divergent": float(
+                np.mean(rf < 1e-3)),
+        }
         entry = {
+            "divergent_adjudication": adjudication,
             "sampled_steps": int(len(sel)),
             "of_which_failing_vs_recording": int(len(sel_f)),
             "ours_vs_optimum_median": float(np.median(ours_err)),

@@ -76,6 +76,15 @@ def main():
     import dataclasses
 
     import jax
+
+    # Persistent compilation cache: the chain's closed-loop/training
+    # programs are the most expensive compiles in the repo (cold remote
+    # TPU compiles run 10-25 min); caching makes stage re-runs and the
+    # sibling chains start warm.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_fct")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
     import numpy as np
     import jax.numpy as jnp
 
