@@ -234,7 +234,7 @@ def main():
         # wide_panel.verdict_vs_scalar docstring for the caveat)
         for n in sorted(have):
             slot = ("mpc" if n.startswith("mpc") else
-                    "supervised" if "supervised" in n else "unsupervised")
+                    "unsupervised" if "unsupervised" in n else "supervised")
             v = wp.verdict_vs_scalar(panels[(noise, n)], RECORDED[noise][slot])
             comps.setdefault(key, {}).setdefault("vs_recorded", {})[n] = {
                 "recorded": v["recorded"], "margin": v["margin"],
