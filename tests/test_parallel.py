@@ -121,13 +121,18 @@ def test_virtual_mesh_scaling_efficiency(mesh8):
     """
     import time
 
-    loop_cfg = cl.LoopConfig(t_steps=12, variant="smooth",
+    # B=128/t=25: large enough that partitioning overhead, not per-call
+    # dispatch jitter, dominates the 1-vs-8-device delta (at B=32/t=12 the
+    # programs run ~0.1 s and scheduler noise on the 2-core host exceeds
+    # the 10% assertion margin — observed flaking under load; the artifact
+    # measures the 8-device program FASTER at this size).
+    loop_cfg = cl.LoopConfig(t_steps=25, variant="smooth",
                              process_std=(5e-1, 2e0, 5e7, 5e7, 2e0))
     ctrl = cl.MPCController(sqp.MPCConfig(horizon=5, variant="smooth",
                                           gn_iters=3, al_iters=1))
-    B = 32
+    B = 128
     refs = jnp.asarray(streams.sample_references(
-        jax.random.PRNGKey(3), B, "supervised", 12), jnp.float64)
+        jax.random.PRNGKey(3), B, "supervised", 25), jnp.float64)
     x0 = jnp.tile(jnp.asarray(cl.press.X0_REFERENCE, jnp.float64), (B, 1))
     key = jax.random.PRNGKey(0)
 
