@@ -7,7 +7,8 @@ feasibility-recovery constraints with a hand-built RK4 with 4 substeps
 served by a fixed-step RK4: the plant's fastest linearized mode
 (pressure-velocity oscillation, ~360 rad/s) gives omega*h ~= 0.09 at
 1 ms / 4 substeps, comfortably inside RK4's stability region; accuracy vs
-CVODES is validated by the golden-trajectory tests (tests/test_golden.py).
+CVODES is validated by the golden-trajectory tests (tests/test_integrate.py
+single-step + replay parity, tests/test_refgen.py recorded-stream replay).
 
 Substep count is static, so the loop unrolls into one fused XLA computation;
 `vmap` batches it over scenarios and `jacfwd` differentiates through it for

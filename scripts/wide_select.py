@@ -147,25 +147,37 @@ def main():
     cands.sort(key=lambda t: t[0])
     val_best, sel_seed, sel_params = cands[0]
 
-    # ---- 3: ship ----
-    ck_path = f"{out_dir}/results/NN_controller_{ck_sfx}_wideselect.npz"
-    checkpoint.save(ck_path, {
-        "params": sel_params,
-        "in_scaler": (in_sc.shift, in_sc.scale),
-        "out_scaler": (out_sc.shift, out_sc.scale)},
-        meta={"selected_seed": sel_seed, "val_panel_mean": val_best,
-              "protocol": "wide-validation-panel selection; "
-                          "scripts/wide_select.py"})
-
-    # ---- 4: report (out-of-sample) ----
-    rep_res = eval_panel(report_spec, sel_params, in_sc, out_sc)
-
-    # shipped (16-stream-selected) chain controller on the same panel
+    # shipped (16-stream-selected) chain controller, for the paired report
+    # and the reselection check
     like = {"params": fnn.init(jax.random.PRNGKey(0))[0],
             "in_scaler": (jnp.zeros(3), jnp.ones(3)),
             "out_scaler": (jnp.zeros(1), jnp.ones(1))}
     shipped = checkpoint.load(
         f"{out_dir}/results/NN_controller_{ck_sfx}.npz", like)
+    same_as_shipped = all(
+        np.array_equal(np.asarray(a), np.asarray(b)) for a, b in zip(
+            jax.tree.leaves(sel_params), jax.tree.leaves(shipped["params"])))
+
+    # ---- 3: ship — unless selection reproduced the already-shipped
+    # parameters, in which case a duplicate _wideselect.npz checkpoint and
+    # summary entry would only clutter the chain (ADVICE round 4).
+    ck_path = f"{out_dir}/results/NN_controller_{ck_sfx}_wideselect.npz"
+    if same_as_shipped:
+        ck_path = None
+        print(json.dumps({"reselected_shipped_seed": sel_seed,
+                          "note": "no duplicate checkpoint written"}),
+              flush=True)
+    else:
+        checkpoint.save(ck_path, {
+            "params": sel_params,
+            "in_scaler": (in_sc.shift, in_sc.scale),
+            "out_scaler": (out_sc.shift, out_sc.scale)},
+            meta={"selected_seed": sel_seed, "val_panel_mean": val_best,
+                  "protocol": "wide-validation-panel selection; "
+                              "scripts/wide_select.py"})
+
+    # ---- 4: report (out-of-sample) ----
+    rep_res = eval_panel(report_spec, sel_params, in_sc, out_sc)
     ship_res = eval_panel(report_spec, shipped["params"],
                           scalers.Scaler(*shipped["in_scaler"]),
                           scalers.Scaler(*shipped["out_scaler"]))
@@ -203,6 +215,7 @@ def main():
     rec = {
         "chain": args.chain, "n_candidates": args.seeds,
         "selected_seed": sel_seed, "val_panel_mean": val_best,
+        "reselected_shipped_seed": same_as_shipped,
         "report_panel": rep_res.summarize(),
         "shipped_16stream_panel": ship_res.summarize(),
         "paired_vs_shipped": wp.compare(rep_res, ship_res),
@@ -212,21 +225,23 @@ def main():
     }
     print(json.dumps(rec, indent=2), flush=True)
 
-    # summary.json entry
-    sp = f"{out_dir}/summary.json"
-    with open(sp) as f:
-        summary = json.load(f)
-    summary["supervised_wideselect"] = {
-        "nn": {"MAE_wide_panel": rec["report_panel"]["mean"],
-               "ci95": rec["report_panel"]["ci95"]},
-        "checkpoint": ck_path, "selected_seed": sel_seed,
-        "paired_vs_ref_best_sim": {
-            "mean_diff": rec["paired_vs_ref_best"]["mean_diff"],
-            "ci95": rec["paired_vs_ref_best"]["ci95"],
-            "verdict": rec["paired_vs_ref_best"]["verdict"]},
-    }
-    with open(sp, "w") as f:
-        json.dump(summary, f, indent=2, default=float)
+    # summary.json entry — only when the selection actually shipped new
+    # parameters (a duplicate of the shipped controller adds no information)
+    if not same_as_shipped:
+        sp = f"{out_dir}/summary.json"
+        with open(sp) as f:
+            summary = json.load(f)
+        summary["supervised_wideselect"] = {
+            "nn": {"MAE_wide_panel": rec["report_panel"]["mean"],
+                   "ci95": rec["report_panel"]["ci95"]},
+            "checkpoint": ck_path, "selected_seed": sel_seed,
+            "paired_vs_ref_best_sim": {
+                "mean_diff": rec["paired_vs_ref_best"]["mean_diff"],
+                "ci95": rec["paired_vs_ref_best"]["ci95"],
+                "verdict": rec["paired_vs_ref_best"]["verdict"]},
+        }
+        with open(sp, "w") as f:
+            json.dump(summary, f, indent=2, default=float)
 
     # artifact (merged across chains)
     art = {}
