@@ -94,6 +94,19 @@ class SupervisedConfig:
     # closed-loop validation MAE (cf. the reference's 10 "sim" replicas,
     # Supervised Learning/Main.py sim loop).
     n_seeds: int = 1
+    # "imitation": the reference protocol — one-shot behavior cloning of
+    # the recorded teacher dataset (Supervised Learning/Main.py:272-286).
+    # "dagger": iterated imitation — the batched MPC teacher relabels the
+    # student's own closed-loop states each round (nn/train.train_dagger),
+    # closing the covariate-shift gap one-shot cloning pays in closed
+    # loop.  Unlike the unsupervised slot's dagger mode, NO plant-BPTT
+    # fine-tune is applied: the slot stays pure imitation (labels come
+    # only from the teacher), so the supervised/unsupervised distinction
+    # keeps the reference's meaning.
+    train_mode: str = "imitation"
+    dagger_rounds: int = 4
+    dagger_n_traj: int = 16           # fresh streams labeled per round
+    dagger_epochs: int = 30           # imitation epochs per round
     flags: Flags = Flags()
 
 

@@ -74,7 +74,7 @@ def run(results: dict, cfg: SupervisedConfig = SupervisedConfig(), *,
         # held-out streams (the reference trains 10 "sim" replicas,
         # Supervised Learning/Main.py; see SupervisedConfig.n_seeds).
         cl_val_fn = None
-        if cfg.n_seeds > 1:
+        if cfg.n_seeds > 1 or cfg.train_mode == "dagger":
             # Noise-matched selection: when deployment evaluation is noisy,
             # ranking candidates on clean rollouts misorders them (measured
             # in the unsupervised pipeline; same protocol here).
@@ -84,15 +84,40 @@ def run(results: dict, cfg: SupervisedConfig = SupervisedConfig(), *,
                 width_dim=cfg.width_dim,
                 process_std=(PROCESS_STD if cfg.flags.enable_noise
                              else (0.0,) * 5))
+        def train_one(s, p0):
+            if cfg.train_mode == "dagger":
+                # Iterated imitation: the chain's own MPC teacher (same
+                # preset the baseline row runs) relabels the student's
+                # closed-loop states each round.  Round-0 data is the
+                # deployment-aligned full-density pairing (post-step
+                # state -> next command), the measured-best imitation set
+                # (see unsupervised._full_density).
+                from .unsupervised import _full_density
+                make_t = {"default": sqp.MPCConfig, "fast": sqp.MPCConfig.fast,
+                          "ipopt_compat": sqp.MPCConfig.ipopt_compat}[
+                    cfg.solver_preset]
+                xf, uf, xvf, uvf = _full_density(results, in_sc, out_sc)
+                return train.train_dagger(
+                    p0, in_sc, out_sc, xf, uf, xvf, uvf,
+                    mpc_cfg=make_t(horizon=cfg.horizon, variant="smooth"),
+                    rounds=cfg.dagger_rounds, n_traj=cfg.dagger_n_traj,
+                    t_steps=cfg.t_traj, epochs=cfg.dagger_epochs,
+                    ref_variant="supervised", width_dim=cfg.width_dim,
+                    backend=cl.resolve_backend("auto", cfg.horizon),
+                    process_std=(PROCESS_STD if cfg.flags.enable_noise
+                                 else (0.0,) * 5),
+                    seed=s, closed_loop_val_fn=cl_val_fn)
+            return train.train_supervised(
+                p0, xtr, ytr, xva, yva, width_dim=cfg.width_dim,
+                lr=cfg.lr, epochs=cfg.epochs, batch_size=cfg.batch_size,
+                seed=s, mesh=pmesh.default_mesh())
+
         best = None
         for k in range(max(1, cfg.n_seeds)):
             s = seed + 1000 * k
             p0, _ = fnn.init(jax.random.PRNGKey(s), hidden_dim=cfg.hidden_dim,
                              width_dim=cfg.width_dim, dtype=dtype)
-            p_k, rep_k = train.train_supervised(
-                p0, xtr, ytr, xva, yva, width_dim=cfg.width_dim,
-                lr=cfg.lr, epochs=cfg.epochs, batch_size=cfg.batch_size,
-                seed=s, mesh=pmesh.default_mesh())
+            p_k, rep_k = train_one(s, p0)
             score = float(cl_val_fn(p_k)) if cl_val_fn is not None else 0.0
             if best is None or score < best[0]:
                 best = (score, s, p_k, rep_k)

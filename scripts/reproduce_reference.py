@@ -50,6 +50,12 @@ def main():
     ap.add_argument("--epochs-scale", type=float, default=1.0)
     ap.add_argument("--n-traj", type=int, default=80)
     ap.add_argument("--stages", default=",".join(ALL_STAGES))
+    ap.add_argument("--sup-mode", default="imitation",
+                    choices=["imitation", "dagger"],
+                    help="supervised-slot trainer: 'imitation' = reference"
+                         " one-shot cloning; 'dagger' = iterated imitation"
+                         " with batched MPC-teacher relabeling (pure"
+                         " imitation — no plant fine-tune)")
     ap.add_argument("--unsup-mode", default="both",
                     choices=["surrogate", "plant", "dagger", "both", "all"],
                     help="'surrogate' = reference protocol (MPC-loss through"
@@ -162,7 +168,8 @@ def main():
     if "supervised" in stages:
         scfg = config.SupervisedConfig(
             horizon=args.horizon, epochs=max(1, int(60 * args.epochs_scale)),
-            flags=flags, solver_preset=args.preset, n_seeds=args.seeds)
+            flags=flags, solver_preset=args.preset, n_seeds=args.seeds,
+            train_mode=args.sup_mode)
         s_art = supervised.run(results, scfg, seed=0, closed_loop_eval=True,
                                out_dir=args.out)
         summary["supervised"] = {"test": s_art.test_metrics,
