@@ -20,7 +20,14 @@ import numpy as np
 def format_table(d: Mapping[str, float]) -> str:
     """fancy-grid-ish console rendering (no external tabulate dependency)."""
     keys = list(d)
-    vals = [f"{float(d[k]):.6g}" for k in keys]
+
+    def fmt(v):
+        try:
+            return f"{float(v):.6g}"
+        except (TypeError, ValueError):
+            return str(v)
+
+    vals = [fmt(d[k]) for k in keys]
     widths = [max(len(k), len(v)) for k, v in zip(keys, vals)]
     sep = "+" + "+".join("-" * (w + 2) for w in widths) + "+"
     head = "|" + "|".join(f" {k:<{w}} " for k, w in zip(keys, widths)) + "|"
@@ -37,9 +44,18 @@ def show_tabulate(d: Mapping[str, float], file: str | None = None,
         print(text)
     if file:
         os.makedirs(os.path.dirname(file), exist_ok=True)
+
+        def fmt(v):
+            # Numeric columns render as floats (reference format); label
+            # columns (e.g. Time_impl: "native_cpp_sqp") pass through.
+            try:
+                return f"{float(v)}"
+            except (TypeError, ValueError):
+                return str(v)
+
         with open(file, "w") as f:
             f.write("\t".join(d.keys()) + "\n")
-            f.write("\t".join(f"{float(v)}" for v in d.values()) + "\n")
+            f.write("\t".join(fmt(v) for v in d.values()) + "\n")
     return text
 
 

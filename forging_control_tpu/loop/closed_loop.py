@@ -423,5 +423,80 @@ def controller_latency_metrics(loop_cfg: LoopConfig, controller, refs, *,
     return out
 
 
+def native_mpc_latency(loop_cfg: LoopConfig, mpc_cfg, refs, *, seed: int = 0):
+    """Per-step wall-clock latencies (s) of the NATIVE C++ GN-SQP MPC.
+
+    The framework's hard-real-time MPC path (``runtime/src/sqp_solver.h``)
+    driven through the chain's evaluation protocol: per control period the
+    warm-started native solve is timed (the reference's ``do_mpc.tools.
+    Timer`` wraps exactly the controller ``make_step`` the same way —
+    ``Generate Data/Functions.py:335-337``), then the plant advances one
+    period untimed via the framework's RK4 with the loop config's process/
+    measurement noise (f64, identical step semantics to
+    :func:`run_trajectory`).  The native solver takes its iteration
+    structure (horizon, GN x AL counts, pressure bounds, AL penalties)
+    directly from ``mpc_cfg``, so default / ipopt_compat / fast presets all
+    measure as configured.
+
+    Returns (x_meas (T,5), u (T,), times_s (T-1,)) — the first step is the
+    warmup/cold solve and is excluded from the latency array, matching
+    :func:`stepper_latency` semantics.
+    """
+    import time as _time
+
+    import numpy as _np
+
+    from .. import runtime
+
+    mpc = runtime.NativeMPC(
+        horizon=mpc_cfg.horizon, dt=mpc_cfg.dt, substeps=mpc_cfg.substeps,
+        gn_iters=mpc_cfg.gn_iters, al_iters=mpc_cfg.al_iters,
+        p_max=mpc_cfg.p_max, p_min=mpc_cfg.p_min, mu0=mpc_cfg.mu0,
+        mu_factor=mpc_cfg.mu_factor)
+
+    refs = _np.asarray(refs, _np.float64).ravel()
+    rng = _np.random.default_rng(seed)
+    p_std = _np.asarray(loop_cfg.process_std, _np.float64)
+    m_std = _np.asarray(loop_cfg.meas_std, _np.float64)
+
+    def f(x, u):
+        return press.rhs(x, u, loop_cfg.params, loop_cfg.variant)
+
+    # The untimed plant step runs on the local CPU device: when the
+    # default backend is a remote-attached TPU, per-step dispatch there
+    # is tunnel transport (see controller_latency_metrics) and would slow
+    # the harness ~300x without affecting the timed solves.
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        @jax.jit
+        def plant(x, u, w):
+            x_next = rk4_step(f, x, u, loop_cfg.dt, loop_cfg.substeps,
+                              disturbance=w)
+            return x_next, press.measure(x_next, loop_cfg.params,
+                                         loop_cfg.variant)
+
+        x = jnp.asarray(press.X0_REFERENCE)
+        x_meas = _np.asarray(press.measure(x, loop_cfg.params,
+                                           loop_cfg.variant))
+        u_prev = 0.0
+        T = len(refs)
+        xs = _np.empty((T, 5))
+        us = _np.empty(T)
+        times = _np.empty(T - 1)
+        for t in range(T):
+            t0 = _time.perf_counter()
+            u, _stats = mpc.step(x_meas, refs[t], u_prev)
+            dt_s = _time.perf_counter() - t0
+            if t > 0:
+                times[t - 1] = dt_s
+            w = rng.normal(size=5) * p_std
+            v = rng.normal(size=5) * m_std
+            x, x_meas_j = plant(x, jnp.asarray(u, x.dtype), jnp.asarray(w, x.dtype))
+            x_meas = _np.asarray(x_meas_j) + v
+            xs[t] = x_meas
+            us[t] = u
+            u_prev = u
+    return xs, us, times
+
+
 def default_x0(dtype=jnp.float64):
     return jnp.asarray(press.X0_REFERENCE, dtype)

@@ -186,8 +186,30 @@ def run(results: dict, cfg: SupervisedConfig = SupervisedConfig(), *,
             # columns, remote-dispatch mean as Tunnel_time (see
             # cl.controller_latency_metrics); the batched engine's
             # amortized per-solve time is its own column.
-            m.update(cl.controller_latency_metrics(
-                loop_cfg, ctrl, refs[0], dtype=dtype))
+            jaxm = cl.controller_latency_metrics(
+                loop_cfg, ctrl, refs[0], dtype=dtype)
+            if isinstance(ctrl, cl.MPCController):
+                # The framework's real-time MPC path is the native C++
+                # GN-SQP (runtime/) — the only controller in the whole
+                # comparison that meets the 1 ms budget.  Its per-step
+                # distribution fills the reference-format columns
+                # (labeled Time_impl); the JAX single-stream stepper's
+                # numbers stay visible under their own names.
+                try:
+                    _, _, t_nat = cl.native_mpc_latency(
+                        loop_cfg, ctrl.cfg, refs[0])
+                    m.update(metrics.latency_stats(t_nat))
+                    m["Time_impl"] = "native_cpp_sqp"
+                    m["Jax_stepper_mean"] = jaxm["Mean_time"]
+                    m["Jax_stepper_median"] = jaxm["Median_time"]
+                    if "Tunnel_time" in jaxm:
+                        m["Tunnel_time"] = jaxm["Tunnel_time"]
+                except Exception:
+                    # native toolchain unavailable: JAX stepper columns
+                    # keep the reference-format slots (round-4 semantics)
+                    m.update(jaxm)
+            else:
+                m.update(jaxm)
         else:
             m["Mean_time"] = per_step_ms
             m["Median_time"] = per_step_ms

@@ -35,6 +35,17 @@ def test_show_tabulate_tsv(tmp_path):
     assert float(lines[1].split("\t")[0]) == 0.0452
 
 
+def test_show_tabulate_label_column(tmp_path):
+    """Non-numeric label columns (e.g. Time_impl: native_cpp_sqp in the
+    chains' MPC latency rows) pass through the TSV and console renderers."""
+    d = {"Median_time": 0.21, "Time_impl": "native_cpp_sqp"}
+    f = str(tmp_path / "Tables/Normal/MPC_results_N_10.csv")
+    text = report.show_tabulate(d, f, echo=False)
+    assert "native_cpp_sqp" in text
+    lines = open(f).read().splitlines()
+    assert lines[1].split("\t") == ["0.21", "native_cpp_sqp"]
+
+
 def test_dump_dataframe_roundtrip(tmp_path):
     telem = _tiny_telem()
     path = str(tmp_path / "results/MPC_dataframe.txt")
