@@ -107,6 +107,11 @@ SLOW_TESTS = {
 def pytest_configure(config):
     config.addinivalue_line("markers", "smoke: fast tier (<60 s total)")
     config.addinivalue_line("markers", "slow: compile-heavy/golden tier")
+    config.addinivalue_line(
+        "markers", "golden: f64 reference-recording replays + independent "
+        "optimizer cross-checks (the numerically heaviest verification; "
+        "run per-round / after solver, integrator, or physics changes — "
+        "docs/RESULTS.md test-tier section)")
 
 
 # Session/module fixtures that compile large golden programs: every test
@@ -115,12 +120,25 @@ def pytest_configure(config):
 HEAVY_FIXTURES = {"parity_solves", "golden_closed_loop", "golden_mpc_rows",
                   "results", "dataset"}
 
+# Golden tier: verification against the reference's recorded artifacts
+# (the golden fixtures) plus the independent scipy optimizer cross-checks.
+# These are embarrassingly parallel f64 numerical replays — the dominant
+# cost of the full tier on a small-core box — and they only change meaning
+# when solver/integrator/physics code changes, so they run as their own
+# tier: `pytest -m golden` per round (and after touching those layers),
+# `pytest -m "not golden"` as the regular full tier.
+GOLDEN_FIXTURES = {"parity_solves", "golden_closed_loop", "golden_mpc_rows"}
+GOLDEN_TESTS = {"test_independent_scipy_crosscheck",
+                "test_n25_scipy_crosscheck"}
+
 
 def pytest_collection_modifyitems(config, items):
     for item in items:
         base = item.name.split("[")[0]
-        if base in SLOW_TESTS or (
-                HEAVY_FIXTURES & set(getattr(item, "fixturenames", ()))):
+        fixtures = set(getattr(item, "fixturenames", ()))
+        if base in SLOW_TESTS or (HEAVY_FIXTURES & fixtures):
             item.add_marker(pytest.mark.slow)
         else:
             item.add_marker(pytest.mark.smoke)
+        if base in GOLDEN_TESTS or (GOLDEN_FIXTURES & fixtures):
+            item.add_marker(pytest.mark.golden)
