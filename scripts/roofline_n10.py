@@ -1,0 +1,219 @@
+"""Profiler-grounded roofline for the N=10 headline bench (round-5 item 4).
+
+Round 4 reported "0.154% MFU" against the v5e bf16 matmul peak — a
+meaningless denominator for a program that is VPU/elementwise work by
+construction (6x6 blocks, N<=25 horizons, no matmul large enough to tile
+onto the MXU).  This script states utilization against the *binding*
+resources, measured on this chip:
+
+1. **Measured ceilings** (microbenchmarks, not datasheet numbers):
+   - HBM bandwidth: saturating streaming copy / triad on large f32 arrays;
+   - VPU throughput: deep fused multiply-add chain on a resident array
+     (compute-bound by construction: ~1024 flops touched per byte).
+2. **Program placement**: the bench's exact per-solve FLOPs and bytes
+   (XLA cost model with the iteration scans unrolled so every executed
+   body is counted — MPCConfig.iter_unroll, bit-identical numerics) give
+   arithmetic intensity; with the measured solves/s this yields achieved
+   FLOP/s and bytes/s as fractions of the measured ceilings.
+3. **Dispatch/scan overhead**: the closed-loop scan's wall time per step
+   vs the isolated batched-solve program's wall time separates
+   solver compute from plant+telemetry+scan overhead.
+4. **One measured attempt to move it** (the verdict's ask): the condensed
+   GN solve_batch path whose linear algebra is batch-level einsums
+   (ops/smallchol unrolled kernel) vs the per-scenario vmap default, at
+   N=10 on the TPU — does batching the linear algebra into MXU-shaped
+   einsums beat the explicit-batch Riccati sweep?  (Answer from round 3:
+   no — recorded here with this round's numbers.)
+
+Writes docs/artifacts/roofline_n10.json.  Usage:
+  python scripts/roofline_n10.py [--batch 4096] [--steps 300]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+if os.environ.get("FCT_CPU"):
+    os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+    os.environ["JAX_PLATFORMS"] = "cpu"
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def timed_best(fn, *args, reps=5):
+    """Best-of wall time with forced scalar host transfer."""
+    out = fn(*args)
+    float(out)                      # warmup + force
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(fn(*args))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=4096)
+    ap.add_argument("--steps", type=int, default=300)
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--out", default="docs/artifacts/roofline_n10.json")
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_fct")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+    import dataclasses
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from forging_control_tpu.loop import closed_loop as cl
+    from forging_control_tpu.refgen import streams
+    from forging_control_tpu.solver import sqp
+
+    B, T, N = args.batch, args.steps, 10
+    dtype = jnp.float32
+    out = {"device": str(jax.devices()[0]), "batch": B, "steps": T,
+           "horizon": N}
+
+    # ---- 1. measured ceilings -------------------------------------------
+    M = 64 * 1024 * 1024 // 4        # 64 MiB of f32
+    a = jnp.arange(M, dtype=dtype) * 1e-9
+    b = jnp.ones((M,), dtype)
+
+    # streaming triad: reads 2 arrays + writes 1 -> 12 bytes/elem
+    triad = jax.jit(lambda x, y: jnp.sum(x * 1.0001 + y) )
+    # jnp.sum reduces; reads 2*4 bytes/elem (no store of the product if
+    # fused) — count conservatively as 8 bytes/elem read traffic.
+    t_triad = timed_best(triad, a, b)
+    hbm_bytes_per_s = 8.0 * M / t_triad
+
+    # VPU chain: K fused fma ops per element, single pass over the array
+    K = 1024
+
+    @jax.jit
+    def vpu_chain(x):
+        def body(i, acc):
+            return acc * 1.0000001 + 0.9999
+        return jnp.sum(jax.lax.fori_loop(0, K, body, x))
+
+    t_vpu = timed_best(vpu_chain, a)
+    vpu_flops_per_s = 2.0 * K * M / t_vpu
+
+    out["ceilings_measured"] = {
+        "hbm_bytes_per_s": hbm_bytes_per_s,
+        "vpu_flops_per_s": vpu_flops_per_s,
+        "note": ("microbenchmarks on this chip: 64 MiB f32 streaming "
+                 "reduction (HBM) and a 1024-deep fused fma chain (VPU); "
+                 "datasheet bf16 MXU peak 1.97e14 FLOP/s is NOT the "
+                 "relevant ceiling for this elementwise program"),
+    }
+    print(json.dumps(out["ceilings_measured"]), flush=True)
+
+    # ---- 2. bench program placement -------------------------------------
+    preset = os.environ.get("BENCH_PRESET", "default")
+    makers = {"default": sqp.MPCConfig, "fast": sqp.MPCConfig.fast,
+              "fast_5x1": lambda **kw: sqp.MPCConfig.fast(gn_iters=5, **kw)}
+    ctrl = cl.MPCController(makers[preset](horizon=N, variant="smooth"),
+                            backend="ilqr")
+    loop_cfg = cl.LoopConfig(t_steps=T, variant="smooth")
+    refs = streams.sample_references(jax.random.PRNGKey(0), B, "supervised",
+                                     t_steps=T, dtype=dtype)
+    x0 = jnp.tile(jnp.asarray(cl.press.X0_REFERENCE, dtype), (B, 1))
+    run = jax.jit(lambda x, r, k: cl.run_batch(loop_cfg, ctrl, x, r, k))
+    _, telem = run(x0, refs, jax.random.PRNGKey(0))
+    telem.u.block_until_ready()
+    best = float("inf")
+    for i in range(args.reps):
+        t0 = time.perf_counter()
+        _, telem = run(x0, refs, jax.random.PRNGKey(i + 1))
+        float(telem.u.sum())
+        best = min(best, time.perf_counter() - t0)
+    solves_per_s = B * T / best
+
+    # exact executed FLOPs/bytes per solve (iteration scans unrolled)
+    ctrl_u = cl.MPCController(dataclasses.replace(ctrl.cfg, iter_unroll=True),
+                              backend="ilqr")
+    state0 = ctrl_u.init_carry_batch(B, dtype)
+    prog = jax.jit(lambda s, x, r, u: ctrl_u.step_batch(s, x, r, u))
+    compiled = prog.lower(state0, x0, refs[:, 0],
+                          jnp.zeros((B,), dtype)).compile()
+    ca = compiled.cost_analysis()
+    ca = ca[0] if isinstance(ca, list) else ca
+    flops_per_solve = float(ca["flops"]) / B
+    bytes_per_solve = float(ca.get("bytes accessed", 0.0)) / B
+
+    # isolated batched-solve wall time (dispatch/scan overhead split)
+    state0b = ctrl.init_carry_batch(B, dtype)
+    solve_prog = jax.jit(lambda s, x, r, u: ctrl.step_batch(s, x, r, u))
+    r0 = refs[:, 0]
+    u0 = jnp.zeros((B,), dtype)
+    o = solve_prog(state0b, x0, r0, u0)
+    jax.block_until_ready(o)
+    t_solve = float("inf")
+    for _ in range(args.reps):
+        t0 = time.perf_counter()
+        o = solve_prog(state0b, x0, r0, u0)
+        float(o[0].sum())
+        t_solve = min(t_solve, time.perf_counter() - t0)
+
+    achieved_flops = flops_per_solve * solves_per_s
+    achieved_bytes = bytes_per_solve * solves_per_s
+    out["bench_placement"] = {
+        "preset": preset,
+        "solves_per_s": solves_per_s,
+        "us_per_step_per_batch": best / T * 1e6,
+        "flops_per_solve_exact": flops_per_solve,
+        "bytes_per_solve": bytes_per_solve,
+        "arithmetic_intensity_flops_per_byte":
+            flops_per_solve / bytes_per_solve if bytes_per_solve else None,
+        "achieved_flops_per_s": achieved_flops,
+        "achieved_bytes_per_s": achieved_bytes,
+        "pct_of_measured_vpu": 100.0 * achieved_flops / vpu_flops_per_s,
+        "pct_of_measured_hbm": 100.0 * achieved_bytes / hbm_bytes_per_s,
+        "isolated_solve_us_per_step": t_solve * 1e6,
+        "scan_step_us": best / T * 1e6,
+        "solver_share_of_step":
+            (t_solve * T / best) if best else None,
+    }
+    print(json.dumps(out["bench_placement"]), flush=True)
+
+    # ---- 4. the measured MXU-path attempt -------------------------------
+    attempts = {}
+    for label, mk in (
+            ("sqp_vmap", lambda: cl.MPCController(
+                makers[preset](horizon=N, variant="smooth"), backend="sqp")),
+            ("sqp_batch_unrolled", lambda: cl.MPCController(
+                makers[preset](horizon=N, variant="smooth"), backend="sqp",
+                linsolve="unrolled"))):
+        c = mk()
+        runc = jax.jit(lambda x, r, k, _c=c: cl.run_batch(loop_cfg, _c, x, r, k))
+        try:
+            _, tl = runc(x0, refs, jax.random.PRNGKey(0))
+            tl.u.block_until_ready()
+            tb = float("inf")
+            for i in range(args.reps):
+                t0 = time.perf_counter()
+                _, tl = runc(x0, refs, jax.random.PRNGKey(i + 1))
+                float(tl.u.sum())
+                tb = min(tb, time.perf_counter() - t0)
+            attempts[label] = {"solves_per_s": B * T / tb}
+        except Exception as e:            # pragma: no cover
+            attempts[label] = {"error": str(e)[:200]}
+        print(json.dumps({label: attempts[label]}), flush=True)
+    attempts["ilqr_default"] = {"solves_per_s": solves_per_s}
+    out["backend_ab"] = attempts
+
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    json.dump(out, open(args.out, "w"), indent=2)
+    print("written", args.out)
+
+
+if __name__ == "__main__":
+    main()
