@@ -101,6 +101,8 @@ SLOW_TESTS = {
     "test_dagger_trainer_runs_and_labels",
     "test_supervised_pipeline_feasibility_variant",
     "test_virtual_mesh_scaling_efficiency",
+    "test_supervised_dagger_mode",
+    "test_native_latency_harness_beats_reference_noisy_row",
 }
 
 

@@ -52,6 +52,23 @@ def test_supervised_pipeline(small_dataset, tmp_path):
     assert rows.shape == (30, 8)
 
 
+def test_supervised_dagger_mode(small_dataset):
+    """train_mode="dagger" (round-5 item 2): iterated imitation with
+    MPC-teacher relabeling runs end to end and returns finite metrics;
+    the slot stays pure imitation (no plant fine-tune stage)."""
+    _, _, results = small_dataset
+    cfg = config.SupervisedConfig(
+        horizon=5, n_traj_eval=1, t_traj=60, train_mode="dagger",
+        dagger_rounds=1, dagger_n_traj=2, dagger_epochs=2, n_seeds=1,
+        latency_profile=False)
+    art = supervised.run(results, cfg, seed=0, closed_loop_eval=True,
+                         dtype=jnp.float64)
+    assert np.isfinite(art.test_metrics["MAE"])
+    assert np.isfinite(art.nn_metrics["MAE"])
+    # DAgger aggregates teacher-labeled rollout states each round
+    assert art.train_report.cl_val_losses, "round scores recorded"
+
+
 def test_surrogate_pipeline(small_dataset):
     _, _, results = small_dataset
     cfg = config.SurrogateConfig(lookback=10, epochs=3, batch_size=32)
