@@ -381,13 +381,20 @@ def stepper_latency(loop_cfg: LoopConfig, controller, refs, *,
                                    dtype=dtype)
         refs = _np.asarray(refs).ravel()
         carry, u = step(carry, jnp.asarray(refs[0], dtype))   # warmup step
-        u.block_until_ready()
+        float(u)
         times = _np.empty(len(refs) - 1)
         for t in range(1, len(refs)):
             r = jnp.asarray(refs[t], dtype)
             t1 = _time.perf_counter()
             carry, u = step(carry, r)
-            u.block_until_ready()
+            # float() forces a genuine device->host transfer of the
+            # command: on the remote-attach path block_until_ready can
+            # ack before execution completes (same reason bench.py times
+            # through float(sum)), which made the TPU-stepper Tunnel_time
+            # read as enqueue latency (~0.09 ms) instead of transport.
+            # The reference's Timer semantics also include materializing
+            # u0 on the host (controller.make_step returns numpy).
+            float(u)
             times[t - 1] = _time.perf_counter() - t1
     return times
 
