@@ -54,15 +54,18 @@ def timed_best(fn, variants, reps=3):
     utils/profiling.solver_phase_breakdown)."""
     import jax
 
+    def force(o):
+        return float(o[-1]) if isinstance(o, tuple) else float(o)
+
     for v in variants:
         jax.tree.map(lambda a: a.block_until_ready()
                      if hasattr(a, "block_until_ready") else a, v)
-    float(fn(*variants[0]))         # warmup + compile
+    force(fn(*variants[0]))         # warmup + compile
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
         outs = [fn(*v) for v in variants]
-        float(outs[-1])
+        force(outs[-1])
         best = min(best, (time.perf_counter() - t0) / len(variants))
     return best
 
@@ -111,7 +114,22 @@ def main():
 
     variants = [xb * (1.0 + 1e-6 * i) for i in range(6)]
     t_hbm = timed_best(hbm_fn, [(v,) for v in variants])
-    hbm_bytes_per_s = 4.0 * M_HBM * R / t_hbm
+    hbm_red_bytes_per_s = 4.0 * M_HBM * R / t_hbm
+
+    # second pattern: streaming scale (read 4B + write 4B per element) —
+    # stores help saturate the memory system where a pure reduction
+    # cannot; the ceiling is the max over patterns.  The scalar force
+    # goes through a tiny slice-sum so timed_best's float() works.
+    @jax.jit
+    def hbm_copy(x):
+        y = x * 1.0001
+        # y is a program OUTPUT, so it must be fully materialized (no
+        # DCE of the store); only the scalar is transferred to host.
+        return y, y[:128].sum()
+
+    t_copy = timed_best(hbm_copy, [(v,) for v in variants])
+    hbm_copy_bytes_per_s = 8.0 * M_HBM / t_copy
+    hbm_bytes_per_s = max(hbm_red_bytes_per_s, hbm_copy_bytes_per_s)
 
     # VPU: deep fused fma chain on a VMEM-resident-scale array; 2 flops
     # per element per iteration, one HBM pass total.
@@ -131,13 +149,19 @@ def main():
 
     out["ceilings_measured"] = {
         "hbm_bytes_per_s": hbm_bytes_per_s,
-        "hbm_pass_s": t_hbm / R,
+        "hbm_reduction_bytes_per_s": hbm_red_bytes_per_s,
+        "hbm_copy_bytes_per_s": hbm_copy_bytes_per_s,
         "vpu_flops_per_s": vpu_flops_per_s,
+        "hbm_spec_bytes_per_s": 819e9,
         "note": ("microbenchmarks on this chip, amortized-transfer "
-                 "timing: 16 serialized 256 MiB streaming passes (HBM) "
-                 "and an 8192-deep fused fma chain on 16 MiB (VPU); "
-                 "datasheet bf16 MXU peak 1.97e14 FLOP/s is NOT the "
-                 "relevant ceiling for this elementwise program"),
+                 "timing: 16 serialized 256 MiB streaming-reduction "
+                 "passes and a 256 MiB read+write scale (HBM; ceiling = "
+                 "max of patterns, spec ~819 GB/s for v5e), plus an "
+                 "8192-deep fused fma chain on 16 MiB (VPU; a VMEM-"
+                 "bandwidth-limited pattern, so a lower bound on the "
+                 "raw flop peak); datasheet bf16 MXU peak 1.97e14 "
+                 "FLOP/s is NOT the relevant ceiling for this "
+                 "elementwise program"),
     }
     print(json.dumps(out["ceilings_measured"]), flush=True)
 
@@ -174,19 +198,16 @@ def main():
     flops_per_solve = float(ca["flops"]) / B
     bytes_per_solve = float(ca.get("bytes accessed", 0.0)) / B
 
-    # isolated batched-solve wall time (dispatch/scan overhead split)
+    # isolated batched-solve wall time (dispatch/scan overhead split);
+    # amortized over staged variants like the ceilings — a single forced
+    # call would include one full tunnel round trip (~25 ms).
     state0b = ctrl.init_carry_batch(B, dtype)
-    solve_prog = jax.jit(lambda s, x, r, u: ctrl.step_batch(s, x, r, u))
+    solve_fn = jax.jit(
+        lambda s, x, r, u: ctrl.step_batch(s, x, r, u)[0].sum())
     r0 = refs[:, 0]
-    u0 = jnp.zeros((B,), dtype)
-    o = solve_prog(state0b, x0, r0, u0)
-    jax.block_until_ready(o)
-    t_solve = float("inf")
-    for _ in range(args.reps):
-        t0 = time.perf_counter()
-        o = solve_prog(state0b, x0, r0, u0)
-        float(o[0].sum())
-        t_solve = min(t_solve, time.perf_counter() - t0)
+    svars = [(state0b, x0, r0, jnp.full((B,), 1e-6 * i, dtype))
+             for i in range(8)]
+    t_solve = timed_best(solve_fn, svars, reps=args.reps)
 
     achieved_flops = flops_per_solve * solves_per_s
     achieved_bytes = bytes_per_solve * solves_per_s
@@ -206,6 +227,12 @@ def main():
         "scan_step_us": best / T * 1e6,
         "solver_share_of_step":
             (t_solve * T / best) if best else None,
+        # speed-of-light cross-check: wall time per solve vs the time the
+        # HBM (spec) needs to move the program's cost-model traffic.
+        "us_per_solve": 1e6 / solves_per_s,
+        "hbm_lower_bound_us_per_solve": bytes_per_solve / 819e9 * 1e6,
+        "pct_of_hbm_speed_of_light":
+            100.0 * (bytes_per_solve / 819e9) * solves_per_s,
     }
     print(json.dumps(out["bench_placement"]), flush=True)
 
