@@ -124,7 +124,8 @@ def cmd_supervised(args):
     results = generate_data.load(args.data)
     cfg = pcfg.SupervisedConfig(
         horizon=args.horizon, epochs=args.epochs, n_seeds=args.seeds,
-        backend=args.backend, flags=_flags(args))
+        backend=args.backend, train_mode=args.train_mode,
+        flags=_flags(args))
     art = supervised.run(results, cfg, seed=args.seed,
                          closed_loop_eval=not args.no_eval,
                          out_dir=args.out)
@@ -222,6 +223,12 @@ def main(argv=None):
     sv.add_argument("--backend", default="auto",
                     choices=["auto", "sqp", "ilqr"],
                     help="MPC baseline solver backend (see generate)")
+    sv.add_argument("--train-mode", default="imitation",
+                    choices=["imitation", "dagger"],
+                    help="imitation = reference one-shot cloning; dagger ="
+                         " iterated imitation with batched MPC-teacher"
+                         " relabeling (closes the covariate-shift gap;"
+                         " pure imitation, no plant fine-tune)")
     sv.set_defaults(fn=cmd_supervised)
 
     sg = sub.add_parser("surrogate", help="LSTM surrogate training")
