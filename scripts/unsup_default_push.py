@@ -45,6 +45,10 @@ def main():
     ap.add_argument("--n-traj", type=int, default=32)
     ap.add_argument("--lr", type=float, default=3e-4)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--ship", action="store_true",
+                    help="save the tuned controller as a labeled chain "
+                         "checkpoint + summary entry (provenance: this "
+                         "script's config)")
     args = ap.parse_args()
 
     import jax
@@ -133,6 +137,37 @@ def main():
     os.makedirs(os.path.dirname(art), exist_ok=True)
     json.dump(out, open(art, "w"), indent=2)
     print("written", art)
+
+    if args.ship:
+        out_dir = os.path.dirname(os.path.dirname(args.ckpt))
+        ck = (f"{out_dir}/results/"
+              "NN_controller_unsupervised_N_10_noise_plantpush.npz")
+        checkpoint.save(ck, {
+            "params": params1,
+            "in_scaler": (in_sc.shift, in_sc.scale),
+            "out_scaler": (u_sc.shift, u_sc.scale)},
+            meta={"protocol": "extended plant-BPTT fine-tune from the "
+                              "shipped DAgger controller; "
+                              "scripts/unsup_default_push.py",
+                  "steps": args.steps, "lr": args.lr, "seed": args.seed,
+                  "val_panel_mae": tuned_val})
+        sp = f"{out_dir}/summary.json"
+        with open(sp) as f:
+            summary = json.load(f)
+        summary["unsupervised_plantpush"] = {
+            "checkpoint": ck,
+            "config": {"steps": args.steps, "lr": args.lr,
+                       "seed": args.seed},
+            "val_panel_mae": tuned_val,
+            "wide_panel": out["tuned"],
+            "note": ("candidate selected by the 32-stream noisy "
+                     "validation panel among fine-tune configs; the "
+                     "wide-panel comparison is its first look at the "
+                     "reporting panel"),
+        }
+        with open(sp, "w") as f:
+            json.dump(summary, f, indent=2, default=float)
+        print(json.dumps({"shipped": ck}), flush=True)
 
 
 if __name__ == "__main__":
