@@ -123,10 +123,20 @@ class MPCConfig:
 
     @classmethod
     def fast(cls, **kw):
-        """Throughput preset for warm-started closed-loop use: fewer fixed
-        iterations and a short step ladder.  Validated against the parity
-        preset in tests/test_solver.py (closed-loop tracking unchanged to
-        ~1e-3 MAE)."""
+        """Throughput preset family for warm-started closed-loop use: fewer
+        fixed iterations and a short step ladder.
+
+        The QUALIFIED configuration is ``fast(gn_iters=5)`` ("fast_5x1"):
+        non-inferior to the 6x2 teacher default on a 256-rollout paired
+        wide panel (diff -0.0005, one-sided 95% bound +0.0001 < the
+        pre-registered +0.001 MAE margin; scripts/fast_requalify.py,
+        docs/RESULTS-parity.json fast_preset_ab).  The bare 4x1 form
+        FAILED that bar at panel power (+0.0008, upper bound +0.0015) and
+        is kept only as a labeled bulk-data mode.  CAUTION: do not raise
+        ``al_iters`` on this preset — with mu0=1e4 the AL escalation
+        reaches mu=1e5, measured to destabilize closed-loop tracking on
+        one of 256 f32 panel trajectories (MAE ~6e5; the requalification
+        robustness gate exists because of exactly this)."""
         defaults = dict(gn_iters=4, al_iters=1, mu0=1e4,
                         step_ladder=(1.0, 0.25))
         defaults.update(kw)

@@ -41,6 +41,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--ckpt", default="results_repro/results/"
                     "NN_controller_unsupervised_N_10_noise.npz")
+    ap.add_argument("--init-ckpt", default=None,
+                    help="start fine-tuning from this checkpoint instead"
+                         " of --ckpt (staged anneal); scalers still come"
+                         " from --ckpt's chain")
+    ap.add_argument("--skip-panel", action="store_true",
+                    help="validation-only run (candidate screening):"
+                         " no look at the reporting panel")
     ap.add_argument("--steps", type=int, default=900)
     ap.add_argument("--n-traj", type=int, default=32)
     ap.add_argument("--lr", type=float, default=3e-4)
@@ -74,6 +81,8 @@ def main():
     params0 = d["params"]
     in_sc = scalers.Scaler(*d["in_scaler"])
     u_sc = scalers.Scaler(*d["out_scaler"])
+    if args.init_ckpt:
+        params0 = checkpoint.load(args.init_ckpt, like)["params"]
 
     cl_val = train.make_closed_loop_val(
         in_sc, u_sc, n_traj=32, t_traj=300, dtype=dtype, seed=args.seed,
@@ -89,6 +98,14 @@ def main():
     tuned_val = min(rep.cl_val_losses) if rep.cl_val_losses else None
     print(json.dumps({"tuned_val_mae": tuned_val,
                       "wall_s": rep.wall_time_s}), flush=True)
+    if args.skip_panel:
+        ck = "/tmp/unsup_push_candidate_%d_%g_%d.npz" % (
+            args.steps, args.lr, args.seed)
+        checkpoint.save(ck, {"params": params1,
+                             "in_scaler": (in_sc.shift, in_sc.scale),
+                             "out_scaler": (u_sc.shift, u_sc.scale)})
+        print(json.dumps({"candidate": ck, "val": tuned_val}), flush=True)
+        return
 
     # ---- wide-panel paired comparison (reporting spec) ----
     spec = wp.PanelSpec(n_streams=64, n_noise_reps=4,
