@@ -255,3 +255,34 @@ def test_dompc_pickle_round_trip(tmp_path):
     back = dompc_pickle.to_results(recs["mpc"], t_traj=t)
     for k in results:
         np.testing.assert_allclose(back[k], results[k], rtol=0, atol=0)
+
+
+def test_bench_preset_resolution_follows_artifact():
+    """bench.py's per-horizon preset default follows the qualification
+    artifacts (fast_preset_ab for N=10, fast_preset_by_horizon for the
+    sweep horizons) and never invents an unqualified preset."""
+    import importlib.util
+    import json as _json
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod", os.path.join(root, "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    parity = _json.load(open(os.path.join(root, "docs",
+                                          "RESULTS-parity.json")))
+    known = {"default", "fast", "fast_5x1", "fast_6x1", "fast_8x1",
+             "fast_4x2", "ipopt_compat"}
+    for n in (5, 10, 15, 20, 25):
+        preset, quality = bench._preset_default(n)
+        assert preset in known and quality
+        rec = (parity.get("fast_preset_ab") if n == 10 else
+               parity.get("fast_preset_by_horizon", {}).get(f"N={n}"))
+        if rec is None or not rec.get("qualified"):
+            # no qualified record at this horizon -> teacher default
+            assert preset == "default"
+        else:
+            assert preset == rec["preset"]
+            # the quality string carries the qualification evidence
+            assert "non-inferior" in quality
