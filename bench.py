@@ -74,12 +74,14 @@ def _preset_default(n):
                  f"+{ab['margin']} MAE margin, all trajectories finite; "
                  f"docs/RESULTS-parity.json {art}")
             return ab.get("preset"), q
-        return "default", ("no speed preset passed the wide-panel "
-                           "non-inferiority qualification at this horizon; "
-                           "uses the teacher default (docs/RESULTS-parity"
-                           ".json fast_preset_ab / fast_preset_by_horizon)")
+        return "teacher_6x2", (
+            "no speed preset passed the wide-panel non-inferiority "
+            "qualification at this horizon; runs the 6x2 teacher "
+            "configuration itself (docs/RESULTS-parity.json "
+            "fast_preset_ab / fast_preset_by_horizon)")
     except Exception:
-        return "default", "no qualification artifact; default preset"
+        return "teacher_6x2", ("no qualification artifact; 6x2 teacher "
+                               "configuration")
 
 
 def run_bench(N, B, T, reps, preset, backend):
@@ -93,11 +95,22 @@ def run_bench(N, B, T, reps, preset, backend):
 
     dtype = jnp.float32
     loop_cfg = cl.LoopConfig(t_steps=T, variant="smooth")
-    makers = {"default": sqp.MPCConfig, "fast": sqp.MPCConfig.fast,
+    makers = {"default": sqp.MPCConfig,   # dataclass default: 5 GN x 2 AL
+              # the teacher configuration every chain ships
+              # (pipelines/supervised.py) — the qualification baseline
+              "teacher_6x2": lambda **kw: sqp.MPCConfig(gn_iters=6,
+                                                        al_iters=2, **kw),
+              "fast": sqp.MPCConfig.fast,
               "fast_5x1": lambda **kw: sqp.MPCConfig.fast(gn_iters=5, **kw),
               "fast_6x1": lambda **kw: sqp.MPCConfig.fast(gn_iters=6, **kw),
               "fast_8x1": lambda **kw: sqp.MPCConfig.fast(gn_iters=8, **kw),
               "fast_4x2": lambda **kw: sqp.MPCConfig.fast(al_iters=2, **kw),
+              # lean family: default mu0=1e2 AL schedule, fewer GN iters
+              # (scripts/preset_requalify_horizons.py candidates_for)
+              "lean_4x2": lambda **kw: sqp.MPCConfig(gn_iters=4, al_iters=2,
+                                                     **kw),
+              "lean_5x2": lambda **kw: sqp.MPCConfig(gn_iters=5, al_iters=2,
+                                                     **kw),
               "ipopt_compat": sqp.MPCConfig.ipopt_compat}
     ctrl = cl.MPCController(makers[preset](horizon=N, variant="smooth"),
                             backend=backend)

@@ -53,13 +53,25 @@ OUT = os.path.join(os.path.dirname(_HERE), "docs", "RESULTS-parity.json")
 
 
 def candidates_for(N, sqp):
-    """Speed candidates in descending-throughput order (cost ~ gn*al)."""
+    """Speed candidates in descending-throughput order (cost ~ gn*al).
+
+    Two families: ``fast_*`` (mu0=1e4, single AL round, short ladder —
+    the N=10 headline family) and ``lean_*`` (default mu0=1e2 AL
+    escalation, fewer GN iterations).  The first sweep showed the fast
+    family failing qualification beyond N=10 (+0.0007..+0.0015 paired at
+    N=5/15) — the second AL round carries real tracking quality at those
+    horizons — so the lean family keeps the default's AL schedule and
+    cuts only GN work (1.2-1.5x fewer rollouts)."""
     mk = sqp.MPCConfig.fast
     return [
-        ("fast", mk(horizon=N, variant="smooth")),                  # 4x1
-        ("fast_5x1", mk(horizon=N, variant="smooth", gn_iters=5)),  # 5x1
-        ("fast_6x1", mk(horizon=N, variant="smooth", gn_iters=6)),  # 6x1
-        ("fast_8x1", mk(horizon=N, variant="smooth", gn_iters=8)),  # 8x1
+        ("fast", mk(horizon=N, variant="smooth")),                  # cost 4
+        ("fast_5x1", mk(horizon=N, variant="smooth", gn_iters=5)),  # cost 5
+        ("fast_6x1", mk(horizon=N, variant="smooth", gn_iters=6)),  # cost 6
+        ("lean_4x2", sqp.MPCConfig(horizon=N, variant="smooth",
+                                   gn_iters=4, al_iters=2)),        # cost 8
+        ("fast_8x1", mk(horizon=N, variant="smooth", gn_iters=8)),  # cost 8
+        ("lean_5x2", sqp.MPCConfig(horizon=N, variant="smooth",
+                                   gn_iters=5, al_iters=2)),        # cost 10
     ]
 
 
@@ -68,6 +80,11 @@ def main():
     ap.add_argument("--streams", type=int, default=64)
     ap.add_argument("--reps", type=int, default=4)
     ap.add_argument("--horizons", default="5,15,20,25")
+    ap.add_argument("--candidates", default=None,
+                    help="comma list of candidate names to screen (default "
+                         "all); screening results MERGE into an existing "
+                         "fast_preset_by_horizon record, so a second pass "
+                         "can extend a sweep without redoing it")
     ap.add_argument("--out", default=OUT)
     args = ap.parse_args()
 
@@ -100,12 +117,28 @@ def main():
         # ---- selection (screening) panel: disjoint keys ----
         sel_spec = spec(stream_key=13, noise_key=211)
         sel_default = run_panel(sel_spec, default_cfg)
+        prev = by_h.get(f"N={N}", {}).get("selection", {})
         selection = {"margin": MARGIN, "backend": backend,
                      "spec": dataclasses.asdict(sel_spec),
                      "default_MAE_mean": float(sel_default.mae.mean()),
-                     "candidates": {}}
+                     "candidates": dict(prev.get("candidates", {}))}
+        screen = (set(args.candidates.split(","))
+                  if args.candidates else None)
         chosen = None
+        prev_conf = by_h.get(f"N={N}", {})
+        conf_failed = (prev_conf.get("preset")
+                       if prev_conf.get("qualified") is False else None)
         for name, cfg in candidates_for(N, sqp):
+            if name == conf_failed:
+                continue   # already failed a reporting-panel confirmation
+            if screen is not None and name not in screen:
+                # keep an earlier pass's qualifier if it came cheaper
+                t_prev = selection["candidates"].get(name)
+                if (chosen is None and t_prev
+                        and t_prev.get("qualified")):
+                    chosen = (name, cfg)
+                    break
+                continue
             res = run_panel(sel_spec, cfg)
             d = (res.mae - sel_default.mae).ravel()
             t = paired_stats(d, MARGIN, res.mae, sel_default.mae)

@@ -273,15 +273,17 @@ def test_bench_preset_resolution_follows_artifact():
     parity = _json.load(open(os.path.join(root, "docs",
                                           "RESULTS-parity.json")))
     known = {"default", "fast", "fast_5x1", "fast_6x1", "fast_8x1",
-             "fast_4x2", "ipopt_compat"}
+             "fast_4x2", "lean_4x2", "lean_5x2", "teacher_6x2",
+             "ipopt_compat"}
     for n in (5, 10, 15, 20, 25):
         preset, quality = bench._preset_default(n)
         assert preset in known and quality
         rec = (parity.get("fast_preset_ab") if n == 10 else
                parity.get("fast_preset_by_horizon", {}).get(f"N={n}"))
         if rec is None or not rec.get("qualified"):
-            # no qualified record at this horizon -> teacher default
-            assert preset == "default"
+            # no qualified record at this horizon -> the 6x2 teacher
+            # configuration itself (the qualification baseline)
+            assert preset == "teacher_6x2"
         else:
             assert preset == rec["preset"]
             # the quality string carries the qualification evidence
