@@ -51,6 +51,10 @@ def main():
     ap.add_argument("--steps", type=int, default=900)
     ap.add_argument("--n-traj", type=int, default=32)
     ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--rterm", type=float, default=0.02,
+                    help="command-increment weight of the fine-tune "
+                         "objective (the panel metric is tracking MAE "
+                         "only; command_mean is reported alongside)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--ship", action="store_true",
                     help="save the tuned controller as a labeled chain "
@@ -92,15 +96,15 @@ def main():
 
     params1, rep = train.train_plant_in_loop(
         params0, in_sc, u_sc, t_steps=300, n_traj=args.n_traj,
-        steps=args.steps, lr=args.lr, rterm=0.02,
+        steps=args.steps, lr=args.lr, rterm=args.rterm,
         process_std=PROCESS_STD, seed=args.seed + 17,
         closed_loop_val_fn=cl_val)
     tuned_val = min(rep.cl_val_losses) if rep.cl_val_losses else None
     print(json.dumps({"tuned_val_mae": tuned_val,
                       "wall_s": rep.wall_time_s}), flush=True)
     if args.skip_panel:
-        ck = "/tmp/unsup_push_candidate_%d_%g_%d.npz" % (
-            args.steps, args.lr, args.seed)
+        ck = "/tmp/unsup_push_candidate_%d_%g_%d_n%d_r%g.npz" % (
+            args.steps, args.lr, args.seed, args.n_traj, args.rterm)
         checkpoint.save(ck, {"params": params1,
                              "in_scaler": (in_sc.shift, in_sc.scale),
                              "out_scaler": (u_sc.shift, u_sc.scale)})
