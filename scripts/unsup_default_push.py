@@ -82,7 +82,7 @@ def main():
             "in_scaler": (jnp.zeros(3), jnp.ones(3)),
             "out_scaler": (jnp.zeros(1), jnp.ones(1))}
     d = checkpoint.load(args.ckpt, like)
-    params0 = d["params"]
+    params_ship = params0 = d["params"]   # --ckpt params: the "shipped" row
     in_sc = scalers.Scaler(*d["in_scaler"])
     u_sc = scalers.Scaler(*d["out_scaler"])
     if args.init_ckpt:
@@ -147,7 +147,7 @@ def main():
 
     out = {"ref_best_sim": ref_sim,
            "ref_panel_mean": float(ref_res.mae.mean())}
-    for name, p in (("shipped", params0), ("tuned", params1)):
+    for name, p in (("shipped", params_ship), ("tuned", params1)):
         res = eval_nn(p, in_sc, u_sc)
         c = wp.compare(res, ref_res)
         out[name] = {"panel_mean": float(res.mae.mean()),
@@ -171,6 +171,8 @@ def main():
                               "shipped DAgger controller; "
                               "scripts/unsup_default_push.py",
                   "steps": args.steps, "lr": args.lr, "seed": args.seed,
+                  "n_traj": args.n_traj, "rterm": args.rterm,
+                  "init_ckpt": args.init_ckpt or "",
                   "val_panel_mae": tuned_val})
         sp = f"{out_dir}/summary.json"
         with open(sp) as f:
